@@ -1,0 +1,133 @@
+"""Linear-Gaussian state-space model container and trajectory log-densities.
+
+Capability parity with `_primitives/kalman/base.py` (LGSSM:12-69,
+posterior_logpdf:72-96, prior_logpdf:100-134, log_likelihood:138-166) —
+independent implementation.
+
+Shape conventions (same as the reference, `base.py:27-49`):
+
+  generic LGSSM                     batched (B independent LGSSMs)
+  m0: (dx,)                         m0: (B, dx)
+  P0: (dx, dx)                      P0: (B, dx, dx)
+  Fs: (T-1, dx, dx)                 Fs: (T-1, B, dx, dx)
+  Qs: (T-1, dx, dx)                 Qs: (T-1, B, dx, dx)
+  bs: (T-1, dx)                     bs: (T-1, B, dx)
+  Hs: (T, dy, dx)                   Hs: (T, B, dy, dx)
+  Rs: (T, dy, dy)                   Rs: (T, B, dy, dy)
+  cs: (T, dy)                       cs: (T, B, dy)
+  ys: (T, dy)                       ys: (T, B, dy)
+
+Missing data: NaN entries in `ys` mark unobserved components. Unlike the
+reference (which encodes them as infinite observation variance,
+`filtering.py:84-130`), every function here uses an exact *masked* projection
+of the observation model: rows of H / entries of c are zeroed, R is restricted
+to the observed block with a unit diagonal on missing components, and the
+missing innovations are zeroed. This is algebraically identical to deleting
+the missing rows, but keeps shapes static and all values finite — safe under
+f32/bf16 on TPU and free of `lax.cond` branches.
+"""
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .mvn import logpdf as mvn_logpdf
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class LGSSM(NamedTuple):
+    """Parameters of a (possibly batched) linear-Gaussian SSM."""
+    m0: jnp.ndarray
+    P0: jnp.ndarray
+    Fs: jnp.ndarray
+    Qs: jnp.ndarray
+    bs: jnp.ndarray
+    Hs: jnp.ndarray
+    Rs: jnp.ndarray
+    cs: jnp.ndarray
+
+
+def mask_observation(y, H, c, R):
+    """Project an observation model onto the observed components of `y`.
+
+    Returns `(y_eff, H_eff, c_eff, R_eff, mask)` where missing rows of H/c are
+    zeroed, R is zeroed outside the observed block with a unit diagonal on the
+    missing block, and `y_eff` carries zeros at missing positions. With these,
+    a standard Kalman update / Gaussian logpdf over the full dimension is
+    *exactly* the update / logpdf over observed components only (the missing
+    block decouples as an identity).
+    """
+    mask = jnp.isfinite(y)
+    fmask = mask.astype(H.dtype)
+    H_eff = H * fmask[..., :, None]
+    c_eff = c * fmask
+    R_eff = R * (fmask[..., :, None] * fmask[..., None, :])
+    eye = jnp.eye(R.shape[-1], dtype=R.dtype)
+    R_eff = R_eff + eye * (1.0 - fmask[..., :, None])
+    y_eff = jnp.where(mask, jnp.nan_to_num(y), 0.0)
+    return y_eff, H_eff, c_eff, R_eff, mask
+
+
+@partial(jnp.vectorize, signature="(dy),(dy),(dy,dy)->()")
+def _masked_step_logpdf(y, pred, R):
+    """log N(y_obs; pred_obs, R_obs) over the observed components of `y`."""
+    mask = jnp.isfinite(y)
+    fmask = mask.astype(pred.dtype)
+    n_obs = jnp.sum(fmask)
+    R_eff = R * (fmask[:, None] * fmask[None, :])
+    R_eff = R_eff + jnp.eye(R.shape[-1], dtype=R.dtype) * (1.0 - fmask[:, None])
+    chol = jnp.linalg.cholesky(R_eff)
+    innov = jnp.where(mask, jnp.nan_to_num(y) - pred, 0.0)
+    w = solve_triangular(chol, innov, lower=True)
+    log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    return -0.5 * jnp.sum(w * w) - log_det - 0.5 * n_obs * _LOG_2PI
+
+
+def log_likelihood(ys, xs, lgssm):
+    """log p(y_{0:T} | x_{0:T}) for a given trajectory.
+
+    Missing (NaN) observation components are marginalised out exactly via the
+    masked projection (the reference drops whole partially-observed steps in
+    its dense branch, `base.py:164-166`; here partial steps contribute their
+    observed components, consistently with the filter).
+    """
+    *_, Hs, Rs, cs = lgssm
+    pred_ys = jnp.einsum("...ij,...j->...i", Hs, xs) + cs
+
+    if cs.shape[-1] == 1:
+        # Scalar fast path: no Cholesky needed.
+        mask = jnp.isfinite(ys[..., 0])
+        var = Rs[..., 0, 0]
+        diff = jnp.where(mask, jnp.nan_to_num(ys[..., 0]) - pred_ys[..., 0], 0.0)
+        out = -0.5 * (diff * diff / var + jnp.log(var) + _LOG_2PI)
+        return jnp.sum(jnp.where(mask, out, 0.0))
+    out = _masked_step_logpdf(ys, pred_ys, Rs)
+    return jnp.sum(out)
+
+
+def prior_logpdf(xs, lgssm):
+    """log p(x_{0:T}) of a trajectory under the LGSSM dynamics."""
+    m0, P0, Fs, Qs, bs, *_ = lgssm
+    pred_xs = jnp.einsum("...ij,...j->...i", Fs, xs[:-1]) + bs
+
+    if m0.shape[-1] == 1:
+        var0 = P0[..., 0, 0]
+        d0 = xs[0, ..., 0] - m0[..., 0]
+        out = jnp.nansum(-0.5 * (d0 * d0 / var0 + jnp.log(var0) + _LOG_2PI))
+        varq = Qs[..., 0, 0]
+        dq = xs[1:, ..., 0] - pred_xs[..., 0]
+        trans = -0.5 * (dq * dq / varq + jnp.log(varq) + _LOG_2PI)
+    else:
+        chol_P0 = jnp.linalg.cholesky(P0)
+        chol_Qs = jnp.linalg.cholesky(Qs)
+        out = jnp.nansum(mvn_logpdf(xs[0], m0, chol_P0))
+        trans = mvn_logpdf(xs[1:], pred_xs, chol_Qs)
+    return out + jnp.nansum(trans)
+
+
+def posterior_logpdf(ys, xs, ell, lgssm):
+    """log p(x_{0:T} | y_{0:T}) = log p(y|x) - log p(y) + log p(x)."""
+    return log_likelihood(ys, xs, lgssm) - ell + prior_logpdf(xs, lgssm)
