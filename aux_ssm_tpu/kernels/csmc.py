@@ -64,12 +64,20 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
     return init, kernel
 
 
-def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample):
-    """Conditional SMC forward sweep; particle 0 is pinned to `x_star`."""
+def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None):
+    """Conditional SMC forward sweep; particle 0 is pinned to `x_star`.
+
+    `constrain` (optional) is applied to every particle-axis array — pass a
+    `with_sharding_constraint` closure to run the sweep with N sharded over a
+    `particles` mesh axis (GSPMD then lowers the resampling gather and weight
+    normalisation to ICI collectives); see `csmc_sharded.get_sharded_kernel`.
+    """
+    if constrain is None:
+        constrain = lambda z: z
     T = x_star.shape[0]
     keys = jax.random.split(key, T)
 
-    x0 = M0.sample(keys[0], N)
+    x0 = constrain(M0.sample(keys[0], N))
     x0 = x0.at[0].set(x_star[0])
     log_w0 = G0(x0)
     w0 = normalize(log_w0)
@@ -80,9 +88,9 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample):
         resample_key, sample_key = jax.random.split(key_t)
 
         ancestors = resample(resample_key, w_prev)
-        x_prev = jnp.take(x_prev, ancestors, axis=0)
+        x_prev = constrain(jnp.take(x_prev, ancestors, axis=0))
 
-        x_t = Mt.sample(sample_key, x_prev, Mt_params)
+        x_t = constrain(Mt.sample(sample_key, x_prev, Mt_params))
         x_t = x_t.at[0].set(x_star_t)
 
         log_w = Gt(x_t, x_prev, Gt_params)

@@ -39,6 +39,10 @@ def get_kernel(factory, N: int, backward: bool = False, Pt: Dynamics = None,
         raise ValueError("backward=True requires the true dynamics `Pt`.")
     if backward and not hasattr(Pt, "logpdf"):
         raise ValueError("`Pt` must implement a valid logpdf method.")
+    if isinstance(resampling, str):
+        # Resolve eagerly so typos fail at construction, not first kernel call.
+        from ..ops import resampling as resampling_mod
+        resampling = resampling_mod.get(resampling)
 
     def kernel(key, state, delta):
         x = state.x

@@ -1,0 +1,320 @@
+"""Multivariate stochastic-volatility model (Finke & Thiery 2021 setup).
+
+Capability parity with `examples/stochastic_volatility/` (model.py,
+auxiliary_kalman.py, auxiliary_csmc.py, auxiliary_guided_csmc.py) —
+independent implementation.
+
+Model: D-dimensional log-volatility AR(1)
+    x_0 ~ N(mu, Q_inf),   x_{t+1} = mu + phi (x_t - mu) + eps,  eps ~ N(0, Q)
+    y_t | x_t ~ N(0, diag(exp(x_t)))
+with Q the stationary covariance tau * ((1-rho) I + rho 11^T) / (1 - phi^2).
+
+Sampler styles provided (reference experiment.py:141-154):
+    kalman-1      first-order auxiliary Kalman
+    kalman-2      second-order auxiliary Kalman (diagonal Hessian)
+    csmc          auxiliary PG with independent proposals (optionally
+                  gradient-shifted, optionally parallel-in-time)
+    csmc-guided   Kalman-gain guided auxiliary PG
+"""
+from functools import partial
+
+import chex
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve
+from jax.scipy.stats import norm
+
+from ..kernels import csmc_aux, csmc_independent
+from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.kalman import get_kernel as get_kalman_generic
+from ..ops import mvn
+
+
+# --------------------------------------------------------------------------
+# Model definition
+# --------------------------------------------------------------------------
+
+def stationary_covariance(phi, tau, rho, dim):
+    """Stationary covariance of the AR(1): tau*((1-rho) I + rho 11')/(1-phi^2)."""
+    U = tau * (rho * jnp.ones((dim, dim)) + (1.0 - rho) * jnp.eye(dim))
+    return U / (1.0 - phi ** 2)
+
+
+def get_dynamics(nu, phi, tau, rho, dim):
+    """LGSSM dynamics (m0, P0, F, Q, b) of the log-volatility chain."""
+    F = phi * jnp.eye(dim)
+    Q = stationary_covariance(phi, tau, rho, dim)
+    mu = nu * jnp.ones((dim,))
+    b = mu - phi * mu
+    return mu, Q, F, Q, b
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def get_data(key, nu, phi, tau, rho, dim, T):
+    """Simulate (xs, ys) from the model."""
+    m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, dim)
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+    init_key, scan_key = jax.random.split(key)
+    x0 = m0 + chol_P0 @ jax.random.normal(init_key, (dim,))
+
+    def body(x, k):
+        k_state, k_obs = jax.random.split(k)
+        y = jnp.exp(0.5 * x) * jax.random.normal(k_obs, (dim,))
+        x_next = F @ x + b + chol_Q @ jax.random.normal(k_state, (dim,))
+        return x_next, (x, y)
+
+    _, (xs, ys) = jax.lax.scan(body, x0, jax.random.split(scan_key, T))
+    return xs, ys
+
+
+def _log_potential_one(x, y):
+    val = norm.logpdf(y, scale=jnp.exp(0.5 * x))
+    return jnp.nan_to_num(val)  # infinite scale -> 0 contribution
+
+
+def log_potential(xs, ys):
+    """log p(y_{0:T} | x_{0:T}) = sum_t sum_d log N(y; 0, exp(x))."""
+    return jnp.sum(jax.vmap(_log_potential_one)(xs, ys))
+
+
+def hess_log_potential_diag(xs, ys):
+    """Diagonal of the potential Hessian, elementwise (separable model)."""
+    per_elem = jax.grad(lambda x, y: jnp.sum(_log_potential_one(x, y)))
+    return jax.vmap(jax.vmap(jax.grad(
+        lambda x, y: jnp.nan_to_num(norm.logpdf(y, scale=jnp.exp(0.5 * x))))),
+    )(xs, ys)
+
+
+def init_x_fn(key, ys, nu, phi, tau, rho, N):
+    """Bootstrap particle filter + backward sampling initial trajectory
+    (reference model.py:85-121 behaviour)."""
+    T, d = ys.shape
+    m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, d)
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+    init_key, fwd_key, bwd_key = jax.random.split(key, 3)
+    x0 = m0 + jax.random.normal(init_key, (N, d)) @ chol_P0.T
+
+    def fwd(x, inp):
+        y, k = inp
+        k1, k2 = jax.random.split(k)
+        log_w = jax.vmap(lambda xi: jnp.sum(_log_potential_one(xi, y)))(x)
+        log_w = log_w - jax.scipy.special.logsumexp(log_w)
+        u = jax.random.uniform(k1)
+        grid = (u + jnp.arange(N)) / N
+        anc = jnp.searchsorted(jnp.cumsum(jnp.exp(log_w)), grid)
+        x_next = b[None] + x[anc] @ F.T + jax.random.normal(k2, (N, d)) @ chol_Q.T
+        return x_next, (log_w, x)
+
+    _, (log_ws, xs) = jax.lax.scan(fwd, x0, (ys, jax.random.split(fwd_key, T)))
+
+    def bwd(x, inp):
+        log_w, x_prev, k = inp
+        x_pred = b[None] + x_prev @ F.T
+        lw = log_w + mvn.logpdf(x, x_pred, chol_Q)
+        w = jnp.exp(lw - jax.scipy.special.logsumexp(lw))
+        x_new = jax.random.choice(k, x_prev, p=w)
+        return x_new, x_new
+
+    k_init, k_loop = jax.random.split(bwd_key)
+    x_T = jax.random.choice(k_init, xs[-1], p=jnp.exp(log_ws[-1]))
+    _, traj = jax.lax.scan(bwd, x_T, (log_ws[:-1], xs[:-1], jax.random.split(k_loop, T - 1)),
+                           reverse=True)
+    return jnp.concatenate([traj, x_T[None]], axis=0)
+
+
+# --------------------------------------------------------------------------
+# Auxiliary Kalman samplers (styles kalman-1 / kalman-2)
+# --------------------------------------------------------------------------
+
+def get_kalman_kernel(ys, nu, phi, tau, rho, parallel, order=1):
+    """Auxiliary Kalman kernel; `order` 1 = gradient shift, 2 = diagonal
+    second-order expansion Omega = (-H + 2I/delta)^{-1}
+    (reference auxiliary_kalman.py:28-48)."""
+    T, d = ys.shape
+    m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, d)
+    eye = jnp.eye(d)
+    eyes = jnp.tile(eye[None], (T, 1, 1))
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+
+    Fs = jnp.tile(F[None], (T - 1, 1, 1))
+    Qs = jnp.tile(Q[None], (T - 1, 1, 1))
+    bs = jnp.tile(b[None], (T - 1, 1))
+
+    def dynamics_factory(_x):
+        return m0, P0, Fs, Qs, bs
+
+    def first_order_factory(x, u, delta):
+        grad = jnp.nan_to_num(jax.grad(log_potential)(x, ys))
+        aux_ys = u + 0.5 * delta * grad
+        return aux_ys, eyes, 0.5 * delta * eyes, jnp.zeros((T, d))
+
+    def second_order_factory(x, u, delta):
+        grad = jnp.nan_to_num(jax.grad(log_potential)(x, ys))
+        hess = jnp.nan_to_num(hess_log_potential_diag(x, ys))  # (T, d)
+        omega_inv_diag = -hess + 2.0 / delta                    # diagonal (T, d)
+        omega_diag = 1.0 / omega_inv_diag
+        aux_ys = omega_diag * (2.0 * u / delta + grad - hess * x)
+        Rs = omega_diag[..., None] * eyes
+        return aux_ys, eyes, Rs, jnp.zeros((T, d))
+
+    def log_likelihood_fn(x):
+        out = mvn.logpdf(x[0], m0, chol_P0)
+        pred = jnp.einsum("ij,tj->ti", F, x[:-1]) + b
+        out += jnp.sum(mvn.logpdf(x[1:], pred, chol_Q))
+        return out + log_potential(x, ys)
+
+    obs_factory = first_order_factory if order == 1 else second_order_factory
+    return get_kalman_generic(dynamics_factory, obs_factory, log_likelihood_fn, parallel)
+
+
+# --------------------------------------------------------------------------
+# Feynman–Kac components (cSMC styles)
+# --------------------------------------------------------------------------
+
+def get_feynman_kac(ys, nu, phi, tau, rho):
+    """The model expressed through the cSMC interface."""
+    T, d = ys.shape
+    m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, d)
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+
+    @chex.dataclass
+    class M0(Distribution, UnivariatePotential):
+        def sample(self, key, N):
+            return m0[None] + jax.random.normal(key, (N, d)) @ chol_P0.T
+
+        def logpdf(self, x):
+            return mvn.logpdf(x, m0, chol_P0)
+
+        def __call__(self, x):
+            return self.logpdf(x)
+
+    @chex.dataclass
+    class Mt(Dynamics):
+        def sample(self, key, x_t, _params):
+            return x_t @ F.T + b + jax.random.normal(key, x_t.shape) @ chol_Q.T
+
+        def logpdf(self, x_next, x_t, _params):
+            return mvn.logpdf(x_next, jnp.einsum("ij,...j->...i", F, x_t) + b, chol_Q)
+
+    @chex.dataclass
+    class G0(UnivariatePotential):
+        def __call__(self, x):
+            return jnp.sum(norm.logpdf(ys[0], loc=0.0, scale=jnp.exp(0.5 * x)), -1)
+
+    @chex.dataclass
+    class Gt(Potential):
+        def __call__(self, x_next, _x_t, y):
+            return jnp.sum(norm.logpdf(y, loc=0.0, scale=jnp.exp(0.5 * x_next)), -1)
+
+    return M0(), G0(), Mt(params=jnp.zeros((T - 1, 0))), Gt(params=ys[1:])
+
+
+def get_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
+                    parallel=False, gradient=False, resampling="multinomial"):
+    """Auxiliary PG with independent proposals (style `csmc`)."""
+    M0, G0, Mt, Gt = get_feynman_kac(ys, nu, phi, tau, rho)
+    return csmc_independent.get_kernel(
+        M0, G0, Mt, Gt, n_particles, backward=backward, Pt=Mt,
+        gradient=gradient, parallel=parallel, resampling=resampling,
+    )
+
+
+# --------------------------------------------------------------------------
+# Guided cSMC (style csmc-guided): Kalman-gain recentred proposals
+# --------------------------------------------------------------------------
+
+def _obs_logpdf(x, y):
+    return jnp.sum(jnp.nan_to_num(norm.logpdf(y, 0.0, jnp.exp(0.5 * x))), -1)
+
+
+def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
+                           gradient=False, resampling="multinomial"):
+    """Guided auxiliary PG: each proposal is the exact Gaussian combination of
+    the prior step N(x_pred, Q) with the pseudo-observation u ~ N(x, delta/2):
+    gain K = Q (Q + delta/2 I)^{-1}, mean x_pred + K (u' - x_pred),
+    covariance Q - K Q, with u' optionally gradient-shifted
+    (reference auxiliary_guided_csmc.py:143-156)."""
+    T, d = ys.shape
+    m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, d)
+    _, _, Pt, _ = get_feynman_kac(ys, nu, phi, tau, rho)
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+    eye = jnp.eye(d)
+
+    def gain_and_chol(cov, scale):
+        K = solve(cov + scale ** 2 * eye, cov, assume_a="pos").T
+        Lam = cov - K @ cov
+        return K, jnp.linalg.cholesky(0.5 * (Lam + Lam.T))
+
+    def shift(u, scale, y):
+        if gradient:
+            return u + scale ** 2 * jax.grad(_obs_logpdf)(u, y)
+        return u
+
+    @chex.dataclass
+    class GuidedM0(Distribution):
+        u: chex.Array
+        scale: chex.Array
+        y: chex.Array
+
+        def _moments(self):
+            K, cholL = gain_and_chol(P0, self.scale)
+            mu = m0 + K @ (shift(self.u, self.scale, self.y) - m0)
+            return mu, cholL
+
+        def sample(self, key, N):
+            mu, cholL = self._moments()
+            return mu[None] + jax.random.normal(key, (N, d)) @ cholL.T
+
+        def logpdf(self, x):
+            mu, cholL = self._moments()
+            return mvn.logpdf(x, mu, cholL)
+
+    @chex.dataclass
+    class GuidedG0(UnivariatePotential):
+        u: chex.Array
+        scale: chex.Array
+        y: chex.Array
+
+        def __call__(self, x):
+            mu, cholL = GuidedM0(u=self.u, scale=self.scale, y=self.y)._moments()
+            out = _obs_logpdf(x, self.y) + mvn.logpdf(x, m0, chol_P0)
+            out += jnp.sum(norm.logpdf(x, self.u, self.scale), -1)
+            out -= mvn.logpdf(x, mu, cholL)
+            return out
+
+    @chex.dataclass
+    class GuidedMt(Dynamics):
+        def sample(self, key, x_t, params):
+            u, scale, y = params
+            K, cholL = gain_and_chol(Q, scale)
+            x_pred = x_t @ F.T + b
+            mu = x_pred + (shift(u, scale, y)[None] - x_pred) @ K.T
+            return mu + jax.random.normal(key, x_t.shape) @ cholL.T
+
+    @chex.dataclass
+    class GuidedGt(Potential):
+        def __call__(self, x_next, x_t, params):
+            u, scale, y = params
+            K, cholL = gain_and_chol(Q, scale)
+            x_pred = jnp.einsum("ij,...j->...i", F, x_t) + b
+            mu = x_pred + jnp.einsum("ij,...j->...i", K, shift(u, scale, y) - x_pred)
+            out = _obs_logpdf(x_next, y)
+            out += mvn.logpdf(x_next, x_pred, chol_Q)
+            out += jnp.sum(norm.logpdf(x_next, u, scale), -1)
+            out -= mvn.logpdf(x_next, mu, cholL)
+            return out
+
+    def factory(u, scale):
+        return (
+            GuidedM0(u=u[0], scale=scale[0], y=ys[0]),
+            GuidedG0(u=u[0], scale=scale[0], y=ys[0]),
+            GuidedMt(params=(u[1:], scale[1:], ys[1:])),
+            GuidedGt(params=(u[1:], scale[1:], ys[1:])),
+        )
+
+    return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)

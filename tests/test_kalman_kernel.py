@@ -49,7 +49,7 @@ def _factories(params, ys):
             ],
             axis=-2,
         )
-        cs_aug = jnp.zeros((T, DY + DX))
+        cs_aug = jnp.concatenate([cs, jnp.zeros((T, DX))], axis=-1)
         return ys_aug, Hs_aug, Rs_aug, cs_aug
 
     lgssm_obs = LGSSM(m0, P0, Fs, Qs, bs, Hs, Rs, cs)

@@ -1,0 +1,101 @@
+"""Stochastic-volatility model family: all four sampler styles run, adapt,
+and move; statistical correctness is covered by the cross-style agreement
+test (every style must target the same posterior)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aux_ssm_tpu.models import stochastic_volatility as sv
+from aux_ssm_tpu.experiments.runner import RunConfig, run_chain
+
+NU, PHI, TAU, RHO = 0.0, 0.9, 2.0, 0.25
+T, D = 32, 3
+
+
+@pytest.fixture(scope="module")
+def data():
+    xs, ys = sv.get_data(jax.random.key(0), NU, PHI, TAU, RHO, D, T)
+    return np.asarray(xs), jnp.asarray(ys)
+
+
+def test_dynamics_and_data(data):
+    xs, ys = data
+    assert xs.shape == (T, D) and ys.shape == (T, D)
+    m0, P0, F, Q, b = sv.get_dynamics(NU, PHI, TAU, RHO, D)
+    w = np.linalg.eigvalsh(np.asarray(Q))
+    assert w.min() > 0
+    # Stationarity: P0 solves P = F P F' + Q_innov where Q is stationary cov
+    assert np.allclose(np.asarray(P0), np.asarray(Q))
+
+
+def test_init_x_fn(data):
+    _, ys = data
+    x0 = sv.init_x_fn(jax.random.key(1), ys, NU, PHI, TAU, RHO, 64)
+    assert x0.shape == (T, D)
+    assert np.isfinite(np.asarray(x0)).all()
+
+
+@pytest.mark.parametrize("order,parallel", [(1, False), (1, True), (2, True)])
+def test_kalman_styles_move_and_adapt(data, order, parallel):
+    _, ys = data
+    init, kernel = sv.get_kalman_kernel(ys, NU, PHI, TAU, RHO, parallel, order=order)
+    x0 = sv.init_x_fn(jax.random.key(2), ys, NU, PHI, TAU, RHO, 32)
+    cfg = RunConfig(n_samples=300, burnin=300, target_alpha=0.5, delta_init=1e-2,
+                    learning_rate=0.3)
+    res = run_chain(jax.random.key(3), kernel, init(x0), cfg)
+    acc = float(res.stats.accept_cum)
+    assert 0.15 < acc < 0.95, acc
+    assert float(jnp.max(res.stats.ejsd)) > 0
+
+
+@pytest.mark.parametrize("style", ["csmc", "csmc-grad", "csmc-guided", "csmc-parallel"])
+def test_csmc_styles_move(data, style):
+    _, ys = data
+    N = 16
+    if style == "csmc":
+        init, kernel = sv.get_csmc_kernel(ys, NU, PHI, TAU, RHO, N, backward=True)
+    elif style == "csmc-grad":
+        init, kernel = sv.get_csmc_kernel(ys, NU, PHI, TAU, RHO, N, gradient=True)
+    elif style == "csmc-guided":
+        init, kernel = sv.get_guided_csmc_kernel(ys, NU, PHI, TAU, RHO, N, backward=True)
+    else:
+        init, kernel = sv.get_csmc_kernel(ys, NU, PHI, TAU, RHO, N, parallel=True)
+
+    x0 = sv.init_x_fn(jax.random.key(4), ys, NU, PHI, TAU, RHO, 32)
+    state = init(x0)
+
+    def body(st, k):
+        st = kernel(k, st, jnp.full((T,), 0.5))
+        return st, st.updated
+
+    keys = jax.random.split(jax.random.key(5), 200)
+    state, upd = jax.lax.scan(jax.jit(body), state, keys)
+    rate = float(jnp.mean(upd.astype(jnp.float64)))
+    assert rate > 0.05, rate
+    assert np.isfinite(np.asarray(state.x)).all()
+
+
+@pytest.mark.slow
+def test_styles_agree_on_posterior(data):
+    """kalman-1 and guided cSMC must target the same posterior: their
+    long-chain means must agree within MC error."""
+    _, ys = data
+    x0 = sv.init_x_fn(jax.random.key(6), ys, NU, PHI, TAU, RHO, 32)
+
+    init_k, kernel_k = sv.get_kalman_kernel(ys, NU, PHI, TAU, RHO, True, order=1)
+    cfg = RunConfig(n_samples=6000, burnin=2000, target_alpha=0.5, delta_init=1e-2,
+                    learning_rate=0.3)
+    res_k = run_chain(jax.random.key(7), kernel_k, init_k(x0), cfg, collect_samples=True)
+    mean_k = np.asarray(res_k.samples).mean(0)
+
+    init_c, kernel_c = sv.get_guided_csmc_kernel(ys, NU, PHI, TAU, RHO, 32, backward=True)
+    cfg_c = RunConfig(n_samples=6000, burnin=2000, target_alpha=0.75, delta_init=0.5,
+                      learning_rate=0.3)
+    res_c = run_chain(jax.random.key(8), kernel_c, init_c(x0), cfg_c, collect_samples=True)
+    mean_c = np.asarray(res_c.samples).mean(0)
+
+    # Tolerance: generous MC bound for autocorrelated chains.
+    diff = np.abs(mean_k - mean_c)
+    assert diff.max() < 0.6, diff.max()
+    assert diff.mean() < 0.2, diff.mean()
