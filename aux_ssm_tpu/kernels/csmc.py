@@ -20,7 +20,7 @@ from ..ops import resampling as resampling_mod
 
 def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Potential,
                N: int, backward: bool = False, Pt: Dynamics = None,
-               resampling="multinomial"):
+               resampling="multinomial", ancestor_sampling: bool = False):
     """Build a cSMC kernel.
 
     Parameters
@@ -32,25 +32,32 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
         Use Whiteley backward *sampling* (requires `Pt.logpdf`) instead of
         ancestor *scanning*.
     Pt : Dynamics, optional
-        True-model dynamics for backward sampling; defaults to Mt.
+        True-model dynamics for backward/ancestor sampling; defaults to Mt.
     resampling : str or Callable
         'multinomial' (default), 'systematic', or a callable
         (key, weights) -> indices with index 0 pinned.
+    ancestor_sampling : bool
+        PGAS (Lindsten et al. 2014): redraw the reference particle's ancestor
+        at every forward step from w_{t-1} * p(x*_t | x_{t-1}) (requires
+        `Pt.logpdf`). Composes with either backward pass.
 
     Returns
     -------
     (init, kernel) following the universal kernel contract;
     kernel(key, state) -> CSMCState.
     """
-    if backward and Pt is None:
+    if (backward or ancestor_sampling) and Pt is None:
         Pt = Mt
-    if backward and not hasattr(Pt, "logpdf"):
-        raise ValueError("backward=True requires `Pt` to implement logpdf.")
+    if (backward or ancestor_sampling) and not hasattr(Pt, "logpdf"):
+        raise ValueError("backward/ancestor sampling requires `Pt` to implement logpdf.")
     resample = resampling_mod.get(resampling) if isinstance(resampling, str) else resampling
 
     def kernel(key, state):
         key_fwd, key_bwd = jax.random.split(key)
-        w_T, xs, log_ws, ancestors = forward_pass(key_fwd, state.x, M0, G0, Mt, Gt, N, resample)
+        w_T, xs, log_ws, ancestors = forward_pass(
+            key_fwd, state.x, M0, G0, Mt, Gt, N, resample,
+            ancestor_Pt=Pt if ancestor_sampling else None,
+        )
         if backward:
             x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
         else:
@@ -64,13 +71,18 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
     return init, kernel
 
 
-def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None):
+def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
+                 ancestor_Pt=None):
     """Conditional SMC forward sweep; particle 0 is pinned to `x_star`.
 
     `constrain` (optional) is applied to every particle-axis array — pass a
     `with_sharding_constraint` closure to run the sweep with N sharded over a
     `particles` mesh axis (GSPMD then lowers the resampling gather and weight
     normalisation to ICI collectives); see `csmc_sharded.get_sharded_kernel`.
+
+    `ancestor_Pt` (optional Dynamics) turns on PGAS ancestor sampling: the
+    reference particle's ancestor is redrawn from
+    w_{t-1} * ancestor_Pt.logpdf(x*_t | x_{t-1}).
     """
     if constrain is None:
         constrain = lambda z: z
@@ -82,12 +94,18 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None):
     log_w0 = G0(x0)
     w0 = normalize(log_w0)
 
+    as_params = ancestor_Pt.params if ancestor_Pt is not None else Mt.params
+
     def body(carry, inp):
         w_prev, x_prev = carry
-        Mt_params, Gt_params, x_star_t, key_t = inp
-        resample_key, sample_key = jax.random.split(key_t)
+        Mt_params, Gt_params, Pt_params, x_star_t, key_t = inp
+        resample_key, ancestor_key, sample_key = jax.random.split(key_t, 3)
 
         ancestors = resample(resample_key, w_prev)
+        if ancestor_Pt is not None:
+            log_as = jnp.log(w_prev) + ancestor_Pt.logpdf(x_star_t, x_prev, Pt_params)
+            a0 = jax.random.choice(ancestor_key, N, p=normalize(log_as))
+            ancestors = ancestors.at[0].set(a0)
         x_prev = constrain(jnp.take(x_prev, ancestors, axis=0))
 
         x_t = constrain(Mt.sample(sample_key, x_prev, Mt_params))
@@ -97,7 +115,7 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None):
         return (normalize(log_w), x_t), (x_t, log_w, ancestors)
 
     (w_T, _), (xs, log_ws, ancestors) = jax.lax.scan(
-        body, (w0, x0), (Mt.params, Gt.params, x_star[1:], keys[1:])
+        body, (w0, x0), (Mt.params, Gt.params, as_params, x_star[1:], keys[1:])
     )
     xs = jnp.concatenate([x0[None], xs], axis=0)
     log_ws = jnp.concatenate([log_w0[None], log_ws], axis=0)

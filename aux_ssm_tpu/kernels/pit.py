@@ -61,12 +61,12 @@ def dc_map(elems, operator, last_operator=None):
 
     leaves, treedef = jax.tree.flatten(elems)
     T = leaves[0].shape[0]
+    if T <= 1:
+        return elems  # nothing to combine
     pow2 = _next_pow2(T)
-    K = max(int(math.log2(pow2)), 1)
+    K = int(math.log2(pow2))
 
     padded = jax.tree.map(lambda z: _pad_leaf(z, pow2, T), elems)
-    if pow2 != T and K == 0:
-        raise ValueError("T must be >= 1")
 
     tree = jax.tree.map(lambda z: z.reshape((pow2, 1) + z.shape[1:]), padded)
 

@@ -1,0 +1,180 @@
+"""Stochastic Lorenz-63 model with partial observations and conjugate
+parameter learning.
+
+Capability parity with `examples/lorenz/` (model.py, auxiliary_kalman.py,
+Gibbs structure in experiment.py:95-117) — independent implementation.
+
+Model: Euler–Maruyama discretisation of
+    dX = (phi_0(X) + theta .* phi(X)) dt + sigma_x dW,   X in R^3
+with theta = (s, r-ish, b) entering *linearly* — hence a conjugate Gaussian
+update for theta given a trajectory (Bayesian linear regression).
+Observations: components (x2, x3) seen every `sample_every` steps through
+N(., sig_y^2 I); the observation grid is NaN-padded in both ys and Hs, which
+the masked Kalman machinery handles exactly.
+
+The proposal LGSSM linearises the nonlinear drift at the current trajectory
+with `vmap(extended)` per step; auxiliary u-rows are concatenated with the
+real observation rows into one augmented observation model.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import block_diag
+
+from ..kernels.kalman import get_kernel as get_kalman_generic
+from ..ops import mvn
+from ..ops.linearise import extended
+
+
+def phi_0(x):
+    x1, x2, x3 = x
+    return jnp.array([0.0, -x2 - x1 * x3, x1 * x2])
+
+
+def phi(x):
+    x1, x2, x3 = x
+    return jnp.array([x2 - x1, x1, -x3])
+
+
+def get_dynamics(theta, sigma_x, dt):
+    """Conditional mean callable and (constant) innovation covariance."""
+    def mean(x, _params):
+        return x + dt * (phi_0(x) + theta * phi(x))
+
+    Q = dt * sigma_x ** 2 * jnp.eye(3)
+    return mean, Q
+
+
+def sample_trajectory(key, m0, P0, theta, sigma_x, dt, n_steps):
+    mean, _ = get_dynamics(theta, sigma_x, dt)
+
+    def body(x, k):
+        x = mean(x, None) + sigma_x * jnp.sqrt(dt) * jax.random.normal(k, x.shape)
+        return x, x
+
+    init_key, scan_key = jax.random.split(key)
+    x0 = jax.random.multivariate_normal(init_key, mean=m0, cov=P0)
+    _, xs = jax.lax.scan(body, x0, jax.random.split(scan_key, n_steps - 1))
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def observations_model(data, sig_y, n_steps, sample_every):
+    """NaN-padded observation grid: rows of ys/Hs are NaN except every
+    `sample_every` steps where (x2, x3) are observed."""
+    ys = data[:, 1:]
+    ys_ext = np.full((n_steps, 2), np.nan)
+    ys_ext[::sample_every] = ys
+
+    H = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    Hs = np.full((n_steps, 2, 3), np.nan)
+    Hs[::sample_every] = H
+
+    Rs = np.tile(sig_y ** 2 * np.eye(2)[None], (n_steps, 1, 1))
+    cs = np.zeros_like(ys_ext)
+    return ys_ext, Hs, Rs, cs
+
+
+def theta_posterior_mean_and_chol(x, sigma_theta, dt, sigma_x):
+    """Conjugate posterior over theta given a trajectory: the drift is linear
+    in theta, so this is a (diagonal) Bayesian linear regression."""
+    phis = jax.vmap(phi)(x[:-1])
+    phis_0 = jax.vmap(phi_0)(x[:-1])
+    Y = (x[1:] - x[:-1]) - dt * phis_0
+    X = dt * phis
+    sigma_Y = sigma_x * jnp.sqrt(dt)
+
+    Sigma_inv = jnp.einsum("ij,ij->j", X, X) + 1.0 / sigma_theta ** 2
+    Sigma = 1.0 / Sigma_inv
+    mean = Sigma * jnp.einsum("ij,ij->j", X, Y)
+    chol = sigma_Y * jnp.sqrt(Sigma)
+    return mean, chol
+
+
+def init_x_fn(data, n_steps):
+    """Interpolated initial trajectory from the observed components."""
+    T = data[-1, 0]
+    ts = jnp.linspace(0.0, T, n_steps)
+    xs = jnp.ones((n_steps, 3))
+    xs = xs.at[:, 0].set(25.0)
+    xs = xs.at[:, 1].set(jnp.interp(ts, data[:, 0], data[:, -2]))
+    xs = xs.at[:, 2].set(jnp.interp(ts, data[:, 0], data[:, -1]))
+    return xs
+
+
+def get_kalman_kernel(ys, Hs, Rs, cs, m0, P0, theta, sigma_x, dt, parallel):
+    """Auxiliary Kalman kernel with per-step extended linearisation of the
+    nonlinear drift and u-rows concatenated with the real observations."""
+    T = ys.shape[0]
+    eye = jnp.eye(3)
+    eyes = jnp.tile(eye[None], (T, 1, 1))
+
+    mean, Q = get_dynamics(theta, sigma_x, dt)
+    cov = lambda _x, _p: Q
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+    chol_Rs = jnp.linalg.cholesky(Rs)
+
+    def dynamics_factory(x):
+        Fs, Qs, bs = jax.vmap(lambda z: extended(mean, cov, None, z, None))(x[:-1])
+        return m0, P0, Fs, Qs, bs
+
+    def observations_factory(_x, u, delta):
+        aux_ys = jnp.concatenate([u, ys], axis=1)
+        aux_Hs = jnp.concatenate([eyes, Hs], axis=1)
+        aux_cs = jnp.concatenate([jnp.zeros_like(u), cs], axis=1)
+        aux_Rs = jax.vmap(block_diag)(0.5 * delta * eyes, Rs)
+        return aux_ys, aux_Hs, aux_Rs, aux_cs
+
+    def log_likelihood_fn(x):
+        pred_x = jax.vmap(mean, in_axes=(0, None))(x[:-1], None)
+        out = mvn.logpdf(x[0], m0, chol_P0)
+        out += jnp.sum(mvn.logpdf(x[1:], pred_x, chol_Q))
+        pred_y = jnp.einsum("ijk,ik->ij", jnp.nan_to_num(Hs), x) + cs
+        mask = jnp.isfinite(ys[:, 0])
+        loglik = jnp.where(mask, mvn.logpdf(jnp.where(mask[:, None], ys, pred_y),
+                                            pred_y, chol_Rs), 0.0)
+        return out + jnp.sum(loglik)
+
+    return get_kalman_generic(dynamics_factory, observations_factory,
+                              log_likelihood_fn, parallel)
+
+
+def get_gibbs_kernel(ys, Hs, Rs, cs, m0, P0, sigma_x, dt, sigma_theta, parallel):
+    """Gibbs sampler alternating the trajectory kernel (at the current theta)
+    with the conjugate theta draw. The Kalman kernel is constructed inside
+    the step as a closure over the traced theta — one compiled program, no
+    retracing across iterations (reference experiment.py:108-117 pattern,
+    SURVEY hard-part 4)."""
+    import chex
+
+    @chex.dataclass
+    class GibbsState:
+        kalman_state: chex.ArrayTree
+        theta: chex.Array
+
+        @property
+        def x(self):
+            return self.kalman_state.x
+
+        @property
+        def updated(self):
+            return self.kalman_state.updated
+
+    def kernel(key, state, delta):
+        key_traj, key_theta = jax.random.split(key)
+        _, kalman_kernel = get_kalman_kernel(
+            ys, Hs, Rs, cs, m0, P0, state.theta, sigma_x, dt, parallel
+        )
+        kalman_state = kalman_kernel(key_traj, state.kalman_state, delta)
+        mean, chol = theta_posterior_mean_and_chol(kalman_state.x, sigma_theta, dt, sigma_x)
+        theta = mean + chol * jax.random.normal(key_theta, (3,), dtype=mean.dtype)
+        return GibbsState(kalman_state=kalman_state, theta=theta)
+
+    def init(x, theta):
+        from ..kernels.kalman import KalmanSampler
+        return GibbsState(
+            kalman_state=KalmanSampler(x=x, updated=jnp.asarray(True)),
+            theta=jnp.asarray(theta),
+        )
+
+    return init, kernel

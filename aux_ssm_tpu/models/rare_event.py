@@ -1,0 +1,210 @@
+"""Rare-event model: stationary 1-D AR(1) bridge conditioned on a single
+near-unreachable observation at the final step.
+
+Capability parity with `examples/rare_event/` (auxiliary_kalman.py,
+auxiliary_csmc.py, auxiliary_guided_csmc.py, closed-form conditionals at
+experiment.py:228-233) — independent implementation.
+
+Model:  x_0 ~ N(0, 1),   x_{t+1} = rho x_t + sqrt(1-rho^2) eps,
+        single observation  y ~ N(x_{T-1}, r^2)  at the last step.
+
+The conditional moments of x_0 and x_{T-1} given y are available in closed
+form (`conditional_moments`) — this model doubles as an exact MCMC oracle.
+"""
+import chex
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from ..kernels import csmc_aux, csmc_independent
+from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.kalman import get_kernel as get_kalman_generic
+from ..ops.lgssm import LGSSM
+from ..ops.filtering import filtering
+from ..ops.sampling import sampling
+
+
+def conditional_moments(y, rho, r2, T):
+    """Closed-form posterior moments of x_{T-1} and x_0 given y
+    (reference experiment.py:228-233)."""
+    rho_0T = rho ** (T - 1)
+    mean_T = y / (1.0 + r2)
+    var_T = r2 / (1.0 + r2)
+    mean_0 = rho_0T * mean_T
+    var_0 = rho_0T ** 2 * var_T + 1.0 - rho_0T ** 2
+    return (mean_0, var_0), (mean_T, var_T)
+
+
+def _ar_params(rho, T):
+    m0 = jnp.zeros((1,))
+    P0 = jnp.eye(1)
+    Fs = rho * jnp.ones((T - 1, 1, 1))
+    Qs = (1.0 - rho ** 2) * jnp.ones((T - 1, 1, 1))
+    bs = jnp.zeros((T - 1, 1))
+    return m0, P0, Fs, Qs, bs
+
+
+def init_x(key, y, rho, r2, T, parallel=True):
+    """Exact posterior draw (the model is an LGSSM): used to initialise."""
+    m0, P0, Fs, Qs, bs = _ar_params(rho, T)
+    Hs = jnp.zeros((T, 1, 1)).at[-1].set(1.0)
+    Rs = r2 * jnp.ones((T, 1, 1))
+    cs = jnp.zeros((T, 1))
+    ys = jnp.full((T, 1), jnp.nan).at[-1, 0].set(y)
+    lgssm = LGSSM(m0, P0, Fs, Qs, bs, Hs, Rs, cs)
+    fms, fPs, _ = filtering(ys, lgssm, parallel)
+    return sampling(key, fms, fPs, lgssm, parallel)
+
+
+def get_kalman_kernel(y, rho, r2, T, parallel, gradient=False):
+    """Auxiliary Kalman kernel; the potential only acts at the final step, so
+    the gradient shift is non-zero only there."""
+    m0, P0, Fs, Qs, bs = _ar_params(rho, T)
+    sig_x = jnp.sqrt(1.0 - rho ** 2)
+    r = jnp.sqrt(r2)
+    Hs = jnp.ones((T, 1, 1))
+    cs = jnp.zeros((T, 1))
+
+    def dynamics_factory(_x):
+        return m0, P0, Fs, Qs, bs
+
+    def observations_factory(x, u, delta):
+        shift = jnp.zeros((T, 1))
+        if gradient:
+            shift = shift.at[-1].set((y - x[-1]) / r2)
+        aux_ys = u + 0.5 * delta * shift
+        return aux_ys, Hs, 0.5 * delta * jnp.ones((T, 1, 1)), cs
+
+    def log_likelihood_fn(x):
+        out = jnp.sum(norm.logpdf(x[0, 0], 0.0, 1.0))
+        out += jnp.sum(norm.logpdf(x[1:, 0], rho * x[:-1, 0], sig_x))
+        return out + norm.logpdf(y, x[-1, 0], r)
+
+    init_, kernel = get_kalman_generic(dynamics_factory, observations_factory,
+                                       log_likelihood_fn, parallel)
+
+    def init(xs):
+        return init_(xs[:, None] if jnp.ndim(xs) == 1 else xs)
+
+    return init, kernel
+
+
+def get_feynman_kac(y, rho, r2, T):
+    """The model through the cSMC interface: indicator potentials acting only
+    at the final step."""
+    sig_x = jnp.sqrt(1.0 - rho ** 2)
+    r = jnp.sqrt(r2)
+
+    @chex.dataclass
+    class M0(Distribution, UnivariatePotential):
+        def sample(self, key, N):
+            return jax.random.normal(key, (N, 1))
+
+        def logpdf(self, x):
+            return norm.logpdf(x[..., 0], 0.0, 1.0)
+
+        def __call__(self, x):
+            return (T == 1) * norm.logpdf(x[..., 0], y, r)
+
+    @chex.dataclass
+    class Mt(Dynamics):
+        def sample(self, key, x_t, _t):
+            return rho * x_t + sig_x * jax.random.normal(key, x_t.shape)
+
+        def logpdf(self, x_next, x_t, _t):
+            return norm.logpdf(x_next[..., 0], rho * x_t[..., 0], sig_x)
+
+    @chex.dataclass
+    class G0(UnivariatePotential):
+        def __call__(self, x):
+            return (T == 1) * norm.logpdf(x[..., 0], y, r)
+
+    @chex.dataclass
+    class Gt(Potential):
+        def __call__(self, x_next, _x_t, t):
+            return (t == T - 1) * norm.logpdf(y, x_next[..., 0], r)
+
+    return M0(), G0(), Mt(params=jnp.zeros((T - 1, 0))), Gt(params=jnp.arange(1, T))
+
+
+def get_csmc_kernel(y, rho, r2, T, n_particles, backward=True, parallel=False,
+                    gradient=False, resampling="multinomial"):
+    M0, G0, Mt, Gt = get_feynman_kac(y, rho, r2, T)
+    return csmc_independent.get_kernel(
+        M0, G0, Mt, Gt, n_particles, backward=backward, Pt=Mt,
+        gradient=gradient, parallel=parallel, resampling=resampling,
+    )
+
+
+def get_guided_csmc_kernel(y, rho, r2, T, n_particles, backward=True,
+                           gradient=False, resampling="multinomial"):
+    """Guided proposals with closed-form scalar Kalman gains
+    K = sig^2 / (sig^2 + delta/2) recentring each step on the auxiliary
+    observation (gradient-shifted at the final step when requested)."""
+    _, _, Pt, _ = get_feynman_kac(y, rho, r2, T)
+    sig_x = jnp.sqrt(1.0 - rho ** 2)
+    r = jnp.sqrt(r2)
+
+    def factory(u, scale):
+        sig0s = jnp.ones((T,)).at[1:].set(sig_x)       # prior scale per step
+        Ks = sig0s ** 2 / (sig0s ** 2 + scale ** 2)    # scalar gains
+        sig_props = sig0s * jnp.sqrt(1.0 - Ks)         # proposal scales
+
+        def shifted_u(u_t, scale_t, x_pred, t):
+            g = (t == T - 1) * (y - x_pred) / r2
+            return u_t + gradient * scale_t ** 2 * g
+
+        @chex.dataclass
+        class GuidedM0(Distribution, UnivariatePotential):
+            def _mu(self):
+                return Ks[0] * shifted_u(u[0, 0], scale[0], 0.0, 0)
+
+            def sample(self, key, N):
+                return self._mu() + sig_props[0] * jax.random.normal(key, (N, 1))
+
+            def logpdf(self, x):
+                return norm.logpdf(x[..., 0], self._mu(), sig_props[0])
+
+            def __call__(self, x):
+                return self.logpdf(x)
+
+        @chex.dataclass
+        class GuidedG0(UnivariatePotential):
+            def __call__(self, x):
+                mu = Ks[0] * shifted_u(u[0, 0], scale[0], 0.0, 0)
+                out = norm.logpdf(x[..., 0], 0.0, 1.0)
+                out += norm.logpdf(x[..., 0], u[0, 0], scale[0])
+                out -= norm.logpdf(x[..., 0], mu, sig_props[0])
+                out += (T == 1) * norm.logpdf(x[..., 0], y, r)
+                return out
+
+        @chex.dataclass
+        class GuidedMt(Dynamics):
+            def sample(self, key, x_t, params):
+                K, sig_p, u_t, scale_t, t = params
+                x_pred = rho * x_t
+                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
+                return mu + sig_p * jax.random.normal(key, x_t.shape)
+
+            def logpdf(self, x_next, x_t, params):
+                K, sig_p, u_t, scale_t, t = params
+                x_pred = rho * x_t[..., 0]
+                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
+                return norm.logpdf(x_next[..., 0], mu, sig_p)
+
+        @chex.dataclass
+        class GuidedGt(Potential):
+            def __call__(self, x_next, x_t, params):
+                K, sig_p, u_t, scale_t, t = params
+                x_pred = rho * x_t[..., 0]
+                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
+                out = norm.logpdf(x_next[..., 0], x_pred, sig_x)
+                out += norm.logpdf(x_next[..., 0], u_t, scale_t)
+                out -= norm.logpdf(x_next[..., 0], mu, sig_p)
+                out += (t == T - 1) * norm.logpdf(y, x_next[..., 0], r)
+                return out
+
+        params = (Ks[1:], sig_props[1:], u[1:, 0], scale[1:], jnp.arange(1, T))
+        return GuidedM0(), GuidedG0(), GuidedMt(params=params), GuidedGt(params=params)
+
+    return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)

@@ -62,9 +62,13 @@ def mask_observation(y, H, c, R):
     """
     mask = jnp.isfinite(y)
     fmask = mask.astype(H.dtype)
-    H_eff = H * fmask[..., :, None]
-    c_eff = c * fmask
-    R_eff = R * (fmask[..., :, None] * fmask[..., None, :])
+    # `where`, not multiplication: rows of H/R/c may themselves be NaN at
+    # missing steps (e.g. the lorenz observation grid pads Hs with NaN,
+    # reference lorenz/model.py:49-50) and NaN * 0 = NaN.
+    H_eff = jnp.where(mask[..., :, None], jnp.nan_to_num(H), 0.0)
+    c_eff = jnp.where(mask, jnp.nan_to_num(c), 0.0)
+    both = mask[..., :, None] & mask[..., None, :]
+    R_eff = jnp.where(both, jnp.nan_to_num(R), 0.0)
     eye = jnp.eye(R.shape[-1], dtype=R.dtype)
     R_eff = R_eff + eye * (1.0 - fmask[..., :, None])
     y_eff = jnp.where(mask, jnp.nan_to_num(y), 0.0)
@@ -77,10 +81,11 @@ def _masked_step_logpdf(y, pred, R):
     mask = jnp.isfinite(y)
     fmask = mask.astype(pred.dtype)
     n_obs = jnp.sum(fmask)
-    R_eff = R * (fmask[:, None] * fmask[None, :])
+    both = mask[:, None] & mask[None, :]
+    R_eff = jnp.where(both, jnp.nan_to_num(R), 0.0)
     R_eff = R_eff + jnp.eye(R.shape[-1], dtype=R.dtype) * (1.0 - fmask[:, None])
     chol = jnp.linalg.cholesky(R_eff)
-    innov = jnp.where(mask, jnp.nan_to_num(y) - pred, 0.0)
+    innov = jnp.where(mask, jnp.nan_to_num(y) - jnp.nan_to_num(pred), 0.0)
     w = solve_triangular(chol, innov, lower=True)
     log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
     return -0.5 * jnp.sum(w * w) - log_det - 0.5 * n_obs * _LOG_2PI
