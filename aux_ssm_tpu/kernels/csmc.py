@@ -124,7 +124,8 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
 
 def backward_scanning_pass(key, w_T, xs, ancestors):
     """Trace one genealogy backwards from a draw at the final step."""
-    B_T = jax.random.choice(key, w_T.shape[0], p=w_T)
+    ancestors = ancestors.astype(jnp.int32)
+    B_T = jax.random.choice(key, w_T.shape[0], p=w_T).astype(jnp.int32)
 
     def body(B_t, inp):
         xs_prev, A_t = inp

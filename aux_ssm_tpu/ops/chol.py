@@ -6,12 +6,9 @@ MXU-friendly); instead we symmetrize and add a relative jitter on the
 diagonal, which is the standard production approach and keeps the op fully
 batched/fusable.
 """
-from functools import partial
-
 import jax.numpy as jnp
 
 
-@partial(jnp.vectorize, signature="(d,d)->(d,d)")
 def safe_cholesky(P, rel_jitter=None):
     """Cholesky of a (supposedly) PSD matrix, robust to slight asymmetry or
     tiny negative eigenvalues.
@@ -31,11 +28,11 @@ def safe_cholesky(P, rel_jitter=None):
         mirroring the reference's `nan_to_num` guards
         (`_primitives/kalman/sampling.py:103-104`).
     """
-    P = 0.5 * (P + P.T)
+    P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
     if rel_jitter is None:
         rel_jitter = 32.0 * float(jnp.finfo(P.dtype).eps)
     d = P.shape[-1]
-    scale = jnp.trace(P) / d
+    scale = jnp.einsum("...ii->...", P)[..., None, None] / d
     P = P + (rel_jitter * scale) * jnp.eye(d, dtype=P.dtype)
     L = jnp.linalg.cholesky(P)
     return jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)

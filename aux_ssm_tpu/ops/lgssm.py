@@ -27,7 +27,7 @@ the missing rows, but keeps shapes static and all values finite — safe under
 f32/bf16 on TPU and free of `lax.cond` branches.
 """
 import math
-from functools import partial
+
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -75,20 +75,20 @@ def mask_observation(y, H, c, R):
     return y_eff, H_eff, c_eff, R_eff, mask
 
 
-@partial(jnp.vectorize, signature="(dy),(dy),(dy,dy)->()")
 def _masked_step_logpdf(y, pred, R):
-    """log N(y_obs; pred_obs, R_obs) over the observed components of `y`."""
+    """log N(y_obs; pred_obs, R_obs) over the observed components of `y`;
+    broadcasts over leading batch dims."""
     mask = jnp.isfinite(y)
     fmask = mask.astype(pred.dtype)
-    n_obs = jnp.sum(fmask)
-    both = mask[:, None] & mask[None, :]
+    n_obs = jnp.sum(fmask, axis=-1)
+    both = mask[..., :, None] & mask[..., None, :]
     R_eff = jnp.where(both, jnp.nan_to_num(R), 0.0)
-    R_eff = R_eff + jnp.eye(R.shape[-1], dtype=R.dtype) * (1.0 - fmask[:, None])
+    R_eff = R_eff + jnp.eye(R.shape[-1], dtype=R.dtype) * (1.0 - fmask[..., :, None])
     chol = jnp.linalg.cholesky(R_eff)
     innov = jnp.where(mask, jnp.nan_to_num(y) - jnp.nan_to_num(pred), 0.0)
-    w = solve_triangular(chol, innov, lower=True)
-    log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
-    return -0.5 * jnp.sum(w * w) - log_det - 0.5 * n_obs * _LOG_2PI
+    w = solve_triangular(chol, innov[..., None], lower=True)[..., 0]
+    log_det = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * jnp.sum(w * w, axis=-1) - log_det - 0.5 * n_obs * _LOG_2PI
 
 
 def log_likelihood(ys, xs, lgssm):

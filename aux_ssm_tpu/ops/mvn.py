@@ -31,24 +31,30 @@ def tril_log_det(chol):
     return jnp.nansum(jnp.log(jnp.abs(diag)), axis=-1)
 
 
-@partial(jnp.vectorize, signature="(n),(n),(n,n)->()")
 def logpdf(x, m, chol):
-    """Gaussian log-density N(x; m, chol chol^T).
+    """Gaussian log-density N(x; m, chol chol^T), broadcast over leading dims.
 
     Non-finite entries in `chol` are saturated to a large finite value of the
     working dtype, so those dimensions effectively drop out; the 2-pi
     normalisation counts only finite-variance dimensions.
     """
-    diag = jnp.diagonal(chol)
+    x, m = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(m))
+    chol = jnp.asarray(chol)
+    batch = jnp.broadcast_shapes(x.shape[:-1], chol.shape[:-2])
+    x = jnp.broadcast_to(x, batch + x.shape[-1:])
+    m = jnp.broadcast_to(m, batch + m.shape[-1:])
+    chol = jnp.broadcast_to(chol, batch + chol.shape[-2:])
+
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
     finite = jnp.isfinite(diag)
-    dim = jnp.sum(finite)
+    dim = jnp.sum(finite, axis=-1)
 
     big = jnp.sqrt(jnp.finfo(chol.dtype).max)
     chol_sat = jnp.nan_to_num(chol, nan=big, posinf=big, neginf=-big)
-    y = solve_triangular(chol_sat, x - m, lower=True)
+    y = solve_triangular(chol_sat, (x - m)[..., None], lower=True)[..., 0]
 
     log_norm = tril_log_det(chol) + 0.5 * dim * _LOG_2PI
-    quad = jnp.sum(jnp.where(finite, y * y, 0.0))
+    quad = jnp.sum(jnp.where(finite, y * y, 0.0), axis=-1)
 
     out = -0.5 * quad - log_norm
     cap = jnp.finfo(chol.dtype).max

@@ -1,0 +1,271 @@
+"""Fused parallel-in-time Kalman filter scan as a single Pallas TPU kernel.
+
+The XLA `associative_scan` path materialises the five element tensors in HBM
+at every one of the log2(T) combine levels and lowers each small-matrix
+inverse through generic batched linalg. This kernel keeps all elements
+resident in VMEM in a lane-major layout — the time axis rides the 128-wide
+vector lanes — and performs the whole Hillis–Steele inclusive scan (log2(T)
+unrolled levels) in one launch.
+
+Mosaic representation: a (d, d) matrix batched over T lanes is a Python list
+of d arrays of shape (d, T) (matrix row i; first axis = column index). All
+algebra then reduces to 2-D ops with only (1, T) x (d, T) single-side
+broadcasts — the dual-broadcast 3-D form (d,1,T)*(1,d,T) miscompiles on
+current Mosaic, and value scatters/gathers are unsupported. d is static and
+small, so the d^2-unrolled loops trace a few thousand cheap VPU ops per
+level.
+
+The matrix inverse is Gauss–Jordan without pivoting; the operand I + C1 J2
+is similar to I + SPD (eigenvalues >= 1) and well-behaved; correctness vs
+the XLA path is covered by tests (interpret mode) and on-hardware checks.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_slice = jax.lax.slice_in_dim
+
+
+def _ent(row, k):
+    """Entry k of a matrix row: (1, T) slice of a (d, T) array."""
+    return _slice(row, k, k + 1, axis=0)
+
+
+def _mat_transpose(X, d):
+    """Row-list transpose: XT[i] = column i of X."""
+    return [jnp.concatenate([_ent(X[k], i) for k in range(d)], axis=0)
+            for i in range(d)]
+
+
+def _mat_mul(X, Y, d):
+    """Row-list matmul: out[i] = sum_k X[i][k] * Y[k]."""
+    out = []
+    for i in range(d):
+        acc = _ent(X[i], 0) * Y[0]
+        for k in range(1, d):
+            acc = acc + _ent(X[i], k) * Y[k]
+        out.append(acc)
+    return out
+
+
+def _mat_vec(X, v, d):
+    """Row-list matrix-vector: out (d, T); v is (d, T)."""
+    rows = []
+    for i in range(d):
+        acc = _ent(X[i], 0) * _ent(v, 0)
+        for k in range(1, d):
+            acc = acc + _ent(X[i], k) * _ent(v, k)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _mat_add(X, Y, d):
+    return [X[i] + Y[i] for i in range(d)]
+
+
+def _mat_sym(X, d):
+    XT = _mat_transpose(X, d)
+    return [0.5 * (X[i] + XT[i]) for i in range(d)]
+
+
+def _mat_eye(d, T, dtype):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, T), 0)
+    return [jnp.where(lane == i, jnp.ones((), dtype), jnp.zeros((), dtype))
+            for i in range(d)]
+
+
+def _gj_inv(M, d, T):
+    """Gauss–Jordan inverse without pivoting on a row list (lane-batched).
+    Row writes are plain Python list assignment — zero data movement."""
+    M = list(M)
+    Z = _mat_eye(d, T, M[0].dtype)
+    for k in range(d):
+        inv_p = 1.0 / _ent(M[k], k)          # (1, T)
+        Mk = M[k] * inv_p
+        Zk = Z[k] * inv_p
+        for i in range(d):
+            if i == k:
+                continue
+            f = _ent(M[i], k)                # (1, T)
+            M[i] = M[i] - f * Mk
+            Z[i] = Z[i] - f * Zk
+        M[k] = Mk
+        Z[k] = Zk
+    return Z
+
+
+def _combine(left, right, d, T):
+    """`filtering_operator` algebra on row lists (see ops/filtering.py):
+    one Gauss–Jordan inverse of I + C1 J2 serves both solve occurrences."""
+    A1, b1, C1, e1, J1 = left
+    A2, b2, C2, e2, J2 = right
+
+    M = _mat_add(_mat_mul(C1, J2, d), _mat_eye(d, T, b1.dtype), d)
+    Z = _gj_inv(M, d, T)
+
+    A2Z = _mat_mul(A2, Z, d)
+    ZA1 = _mat_mul(Z, A1, d)
+    ZA1T = _mat_transpose(ZA1, d)
+    A2T = _mat_transpose(A2, d)
+
+    A = _mat_mul(A2Z, A1, d)
+    b = _mat_vec(A2Z, b1 + _mat_vec(C1, e2, d), d) + b2
+    C = _mat_add(_mat_mul(A2Z, _mat_mul(C1, A2T, d), d), C2, d)
+    e = _mat_vec(ZA1T, e2 - _mat_vec(J2, b1, d), d) + e1
+    J = _mat_add(_mat_mul(ZA1T, _mat_mul(J2, A1, d), d), J1, d)
+
+    return A, b, _mat_sym(C, d), e, _mat_sym(J, d)
+
+
+def _load_mat(ref, d, T):
+    X = ref[:]
+    return [_slice(X, i, i + 1, axis=0).reshape(d, T) for i in range(d)]
+
+
+def _store_mat(ref, rows, d, T):
+    ref[:] = jnp.concatenate([r.reshape(1, d, T) for r in rows], axis=0)
+
+
+def _roll_mat(rows, s):
+    return [pltpu.roll(r, s, axis=1) for r in rows]
+
+
+def _replicate_last_lane(row, B):
+    """(d, B) -> (d, B) with every lane holding the value of lane B-1."""
+    return jnp.broadcast_to(_slice(row, B - 1, B, axis=1), row.shape)
+
+
+def _scan_kernel(A_ref, b_ref, C_ref, e_ref, J_ref,
+                 oA_ref, ob_ref, oC_ref, oe_ref, oJ_ref,
+                 cA_ref, cb_ref, cC_ref, ce_ref, cJ_ref, *, d, B, levels):
+    """One grid step = one block of B lanes. The TPU grid runs sequentially,
+    so the carry scratch (prefix element of all earlier blocks, replicated
+    across lanes) implements the classic block-scan without a second pass."""
+    i = pl.program_id(0)
+
+    A = _load_mat(A_ref, d, B)
+    C = _load_mat(C_ref, d, B)
+    J = _load_mat(J_ref, d, B)
+    b = b_ref[:]
+    e = e_ref[:]
+
+    # Block-local Hillis–Steele inclusive scan.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    s = 1
+    for _ in range(levels):
+        left = (
+            _roll_mat(A, s), pltpu.roll(b, s, axis=1), _roll_mat(C, s),
+            pltpu.roll(e, s, axis=1), _roll_mat(J, s),
+        )
+        nA, nb, nC, ne, nJ = _combine(left, (A, b, C, e, J), d, B)
+        m = lane >= s
+        A = [jnp.where(m, nA[k], A[k]) for k in range(d)]
+        b = jnp.where(m, nb, b)
+        C = [jnp.where(m, nC[k], C[k]) for k in range(d)]
+        e = jnp.where(m, ne, e)
+        J = [jnp.where(m, nJ[k], J[k]) for k in range(d)]
+        s *= 2
+
+    # Initialise the carry to the identity element on the first block.
+    @pl.when(i == 0)
+    def _():
+        ident = _mat_eye(d, B, b.dtype)
+        zero = jnp.zeros_like(b)
+        _store_mat(cA_ref, ident, d, B)
+        cb_ref[:] = zero
+        _store_mat(cC_ref, [jnp.zeros_like(r) for r in ident], d, B)
+        ce_ref[:] = zero
+        _store_mat(cJ_ref, [jnp.zeros_like(r) for r in ident], d, B)
+
+    carry = (
+        _load_mat(cA_ref, d, B), cb_ref[:], _load_mat(cC_ref, d, B),
+        ce_ref[:], _load_mat(cJ_ref, d, B),
+    )
+    A, b, C, e, J = _combine(carry, (A, b, C, e, J), d, B)
+
+    _store_mat(oA_ref, A, d, B)
+    ob_ref[:] = b
+    _store_mat(oC_ref, C, d, B)
+    oe_ref[:] = e
+    _store_mat(oJ_ref, J, d, B)
+
+    # New carry = the combined element at the last lane, lane-replicated.
+    _store_mat(cA_ref, [_replicate_last_lane(r, B) for r in A], d, B)
+    cb_ref[:] = _replicate_last_lane(b, B)
+    _store_mat(cC_ref, [_replicate_last_lane(r, B) for r in C], d, B)
+    ce_ref[:] = _replicate_last_lane(e, B)
+    _store_mat(cJ_ref, [_replicate_last_lane(r, B) for r in J], d, B)
+
+
+def _to_lane_major(z):
+    """(T, ...) -> (..., T)."""
+    return jnp.moveaxis(z, 0, -1)
+
+
+def _from_lane_major(z):
+    return jnp.moveaxis(z, -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_filter_scan(elems, interpret=False):
+    """Inclusive associative scan of filtering elements in one Pallas launch.
+
+    `elems = (A, b, C, eta, J)` with shapes (T, d, d) / (T, d); returns the
+    prefix-combined elements with identical shapes. Equivalent to
+    `jax.lax.associative_scan(filtering_operator, elems)`.
+    """
+    A, b, C, e, J = elems
+    T, d = b.shape[0], b.shape[1]
+
+    # Pad T to a multiple of the (power-of-two) block size; the pad uses
+    # identity elements (A=I, rest 0 — a right identity of the combine) so
+    # rolled-in lanes stay finite even though they are masked out.
+    BLOCK = min(256, max(128, 1 << (T - 1).bit_length()))
+    Tp = ((T + BLOCK - 1) // BLOCK) * BLOCK
+    pad = Tp - T
+    if pad:
+        eyeA = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), (pad, d, d))
+        A = jnp.concatenate([A, eyeA], 0)
+        b = jnp.concatenate([b, jnp.zeros((pad, d), b.dtype)], 0)
+        C = jnp.concatenate([C, jnp.zeros((pad, d, d), C.dtype)], 0)
+        e = jnp.concatenate([e, jnp.zeros((pad, d), e.dtype)], 0)
+        J = jnp.concatenate([J, jnp.zeros((pad, d, d), J.dtype)], 0)
+
+    lane = tuple(_to_lane_major(z) for z in (A, b, C, e, J))
+    levels = BLOCK.bit_length() - 1
+    n_blocks = Tp // BLOCK
+
+    mat_spec = pl.BlockSpec((d, d, BLOCK), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d, BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    specs = [mat_spec, vec_spec, mat_spec, vec_spec, mat_spec]
+    shapes = tuple(jax.ShapeDtypeStruct(z.shape, z.dtype) for z in lane)
+    dtype = b.dtype
+
+    out = pl.pallas_call(
+        functools.partial(_scan_kernel, d=d, B=BLOCK, levels=levels),
+        grid=(n_blocks,),
+        out_shape=shapes,
+        in_specs=specs,
+        out_specs=tuple(specs),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, BLOCK), dtype), pltpu.VMEM((d, BLOCK), dtype),
+            pltpu.VMEM((d, d, BLOCK), dtype), pltpu.VMEM((d, BLOCK), dtype),
+            pltpu.VMEM((d, d, BLOCK), dtype),
+        ],
+        interpret=interpret,
+    )(*lane)
+
+    out = tuple(_from_lane_major(z)[:T] for z in out)
+    return out
+
+
+def vmem_estimate_bytes(T, d, dtype_bytes=4):
+    """Rough VMEM need per grid step (block-chunked: independent of T)."""
+    block = min(256, max(128, 1 << (max(T, 2) - 1).bit_length()))
+    per_set = (3 * d * d + 2 * d) * block * dtype_bytes
+    return 5 * per_set  # in + out + carry + ~2 sets of live temporaries

@@ -7,14 +7,13 @@ Given filtered moments (ms, Ps), one joint smoothing draw x_{0:T} is obtained
 by composing affine-Gaussian backward maps x_t = G_t x_{t+1} + e_t, where e_t
 already contains the sampled noise. Composition of affine maps is associative,
 so the whole trajectory is a reverse associative scan (O(log T) depth) or a
-reverse sequential scan.
+reverse sequential scan. All ops are explicit batched algebra (see
+`batched.py`) — no gufunc wrappers on the hot path.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve
 
+from .batched import mT, mv, sym
 from .chol import safe_cholesky
 from .lgssm import LGSSM
 
@@ -36,7 +35,7 @@ def sampling(key, ms, Ps, lgssm: LGSSM, parallel: bool):
     """
     gains, incs = _backward_maps(key, ms, Ps, lgssm.Fs, lgssm.Qs, lgssm.bs)
     if parallel:
-        _, xs = jax.lax.associative_scan(jax.vmap(sampling_operator), (gains, incs), reverse=True)
+        _, xs = jax.lax.associative_scan(sampling_operator, (gains, incs), reverse=True)
     else:
         def body(carry, inp):
             carry = sampling_operator(carry, inp)
@@ -53,54 +52,43 @@ def sampling_operator(elem1, elem2):
     """Composition of affine maps: (G1,e1) then (G2,e2) -> (G2 G1, G2 e1 + e2)."""
     G1, e1 = elem1
     G2, e2 = elem2
-    return _sampling_op(G1, e1, G2, e2)
+    return G2 @ G1, mv(G2, e1) + e2
 
 
-@partial(jnp.vectorize, signature="(dx,dx),(dx),(dx,dx),(dx)->(dx,dx),(dx)")
-def _sampling_op(G1, e1, G2, e2):
-    return G2 @ G1, G2 @ e1 + e2
-
-
-@partial(jnp.vectorize, signature="(dx,dx),(dx,dx),(dx),(dx),(dx,dx)->(dx),(dx,dx),(dx,dx)")
 def backward_map_moments(F, Q, b, m, P):
     """Moments of the backward conditional x_t | x_{t+1} at filtered (m, P):
-    mean = inc_m + gain @ x_{t+1}, covariance = L L^T."""
-    dx = m.shape[0]
-    S = F @ P @ F.T + Q
-    S = 0.5 * (S + S.T)
+    mean = inc_m + gain @ x_{t+1}, covariance = L L^T. Batched over leading
+    dims."""
+    dx = m.shape[-1]
+    S = sym(F @ P @ mT(F) + Q)
 
     if dx == 1:
         gain = P * F / S
+        L = jnp.sqrt(jnp.maximum(P - gain @ S @ mT(gain), 0.0))
     else:
         chol_S = safe_cholesky(S)
-        gain = cho_solve((chol_S, True), F @ P).T
+        gain = mT(jax.scipy.linalg.cho_solve((chol_S, True), F @ P))
+        # Zero-uncertainty steps give a singular cov; safe_cholesky returns a
+        # usable (zeroed) factor there, matching the reference's nan_to_num
+        # guard (`sampling.py:103-104`).
+        L = safe_cholesky(P - gain @ S @ mT(gain))
 
-    cov = P - gain @ S @ gain.T
-    inc_m = m - gain @ (F @ m + b)
-    # Zero-uncertainty steps give a singular cov; safe_cholesky returns a
-    # usable (zeroed) factor there, matching the reference's nan_to_num guard
-    # (`sampling.py:103-104`).
-    L = safe_cholesky(cov) if dx > 1 else jnp.sqrt(jnp.maximum(cov, 0.0))
+    inc_m = m - mv(gain, mv(F, m) + b)
     return inc_m, L, gain
-
-
-@partial(jnp.vectorize, signature="(dx,dx),(dx,dx),(dx),(dx),(dx,dx),(dx)->(dx,dx),(dx)")
-def _backward_map_one(F, Q, b, m, P, eps):
-    inc_m, L, gain = backward_map_moments(F, Q, b, m, P)
-    return gain, inc_m + L @ eps
-
-
-@partial(jnp.vectorize, signature="(dx),(dx,dx),(dx)->(dx,dx),(dx)")
-def _last_step_draw(m, P, eps):
-    dx = P.shape[0]
-    L = safe_cholesky(P) if dx > 1 else jnp.sqrt(jnp.maximum(P, 0.0))
-    return jnp.zeros_like(P), m + L @ eps
 
 
 def _backward_maps(key, ms, Ps, Fs, Qs, bs):
     eps = jax.random.normal(key, shape=ms.shape, dtype=ms.dtype)
-    gains, incs = jax.vmap(_backward_map_one)(Fs, Qs, bs, ms[:-1], Ps[:-1], eps[:-1])
-    last_gain, last_inc = _last_step_draw(ms[-1], Ps[-1], eps[-1])
+
+    inc_m, L, gains = backward_map_moments(Fs, Qs, bs, ms[:-1], Ps[:-1])
+    incs = inc_m + mv(L, eps[:-1])
+
+    dx = ms.shape[-1]
+    P_last = Ps[-1]
+    L_last = jnp.sqrt(jnp.maximum(P_last, 0.0)) if dx == 1 else safe_cholesky(P_last)
+    last_inc = ms[-1] + mv(L_last, eps[-1])
+    last_gain = jnp.zeros_like(P_last)
+
     gains = jnp.concatenate([gains, last_gain[None]], axis=0)
     incs = jnp.concatenate([incs, last_inc[None]], axis=0)
     return gains, incs
