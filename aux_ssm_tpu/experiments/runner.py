@@ -62,27 +62,27 @@ def _phase(kernel: Callable, n_iter: int, adapt: bool, cfg: RunConfig, get_stats
         stats = update_stats(stats, x_prev, get_stats_x(new_state),
                              new_state.updated, beta=cfg.beta)
         if adapt:
-            lr = cfg.learning_rate * (n_iter - i.astype(delta.dtype)) / n_iter
+            lr = cfg.learning_rate * (n_iter - i.astype(jnp.float32)) / n_iter
             rate = stats.accept_win if cfg.adapt_on_window else stats.accept_cum
-            # Per-time-step acceptance vectors adapt elementwise deltas.
-            if jnp.ndim(new_state.updated) >= 1 and jnp.ndim(delta) >= 1:
-                rate = jnp.mean(new_state.updated.astype(delta.dtype), axis=-1) \
-                    if new_state.updated.ndim > delta.ndim else \
-                    new_state.updated.astype(delta.dtype)
+            # A per-time-step acceptance vector adapts a (T,) delta
+            # elementwise; a scalar delta adapts on the mean rate.
+            if jnp.ndim(rate) > jnp.ndim(delta):
+                rate = jnp.mean(rate)
             delta = delta_adaptation(delta, cfg.target_alpha, rate, lr,
                                      cfg.min_delta, cfg.max_delta)
         if cfg.verbose:
-            def _report(step, d, aw, ac):
+            def _report(step, dmin, dmax, aw, ac):
                 if int(step) % cfg.print_every == 0:
-                    print(f"    iter {int(step):>7d}  delta[{float(jnp.min(d)):.3e},"
-                          f"{float(jnp.max(d)):.3e}]  acc_win {float(aw):.3f}  "
+                    print(f"    iter {int(step):>7d}  delta[{float(dmin):.3e},"
+                          f"{float(dmax):.3e}]  acc_win {float(aw):.3f}  "
                           f"acc_cum {float(ac):.3f}", flush=True)
-            jax.debug.callback(_report, i, delta, stats.accept_win, stats.accept_cum)
+            jax.debug.callback(_report, i, jnp.min(delta), jnp.max(delta),
+                               jnp.mean(stats.accept_win), jnp.mean(stats.accept_cum))
         return (new_state, delta, stats), None
 
     def scan_phase(key, state, delta):
         keys = jax.random.split(key, n_iter)
-        stats = init_stats(get_stats_x(state))
+        stats = init_stats(get_stats_x(state), accept_shape=jnp.shape(state.updated))
         (state, delta, stats), _ = jax.lax.scan(
             one_step, (state, delta, stats), (jnp.arange(n_iter), keys)
         )
@@ -104,7 +104,7 @@ def _phase_collect(kernel: Callable, n_iter: int, cfg: RunConfig, get_stats_x):
 
     def scan_phase(key, state, delta):
         keys = jax.random.split(key, n_iter)
-        stats = init_stats(get_stats_x(state))
+        stats = init_stats(get_stats_x(state), accept_shape=jnp.shape(state.updated))
         (state, delta, stats), xs = jax.lax.scan(one_step, (state, delta, stats), keys)
         return state, delta, stats, xs
 
@@ -113,15 +113,18 @@ def _phase_collect(kernel: Callable, n_iter: int, cfg: RunConfig, get_stats_x):
 
 def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
               collect_samples: bool = False,
-              get_stats_x: Callable = lambda s: s.x) -> RunResult:
+              get_stats_x: Callable = lambda s: s.x,
+              delta_init=None) -> RunResult:
     """Burn-in with adaptation, then frozen-delta sampling.
 
     `kernel(key, state, delta) -> state` per the universal contract.
+    `delta_init` (optional) overrides cfg.delta_init and may be a per-step
+    (T,) vector (cSMC-style time-local adaptation).
     Returns a `RunResult`; `sampling_time` excludes burn-in and compilation
     (both phases are compiled before timing starts).
     """
     burn_key, sample_key = jax.random.split(jax.random.fold_in(key, 0))
-    delta0 = jnp.asarray(cfg.delta_init)
+    delta0 = jnp.asarray(cfg.delta_init if delta_init is None else delta_init)
 
     burn = jax.jit(_phase(kernel, max(cfg.burnin, 1), True, cfg, get_stats_x))
     state, delta, _ = burn(burn_key, init_state, delta0)

@@ -1,0 +1,72 @@
+"""Spatio-temporal Student-t experiment driver (reference
+`examples/spatial/experiment.py` capability; default T=1024, D=8 grid).
+
+    python -m aux_ssm_tpu.experiments.spatial --style kalman-2 --T 1024 --D 8
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import spatial as sp
+from ..native.precision import precision_stencil
+from ..utils.ess import effective_sample_size
+from . import cli
+from .runner import run_chain
+
+SIGMA_X, TAU, R_Y, NU = 0.3, -0.25, 1.0, 4.0
+
+
+def build_kernel(style, ys, args):
+    common = (ys, SIGMA_X, NU, TAU, R_Y, args.D)
+    if style in ("kalman-1", "kalman-2"):
+        order = 1 if style == "kalman-1" else 2
+        return sp.get_kalman_kernel(*common, parallel=args.parallel, order=order), False
+    if style == "csmc":
+        return sp.get_csmc_kernel(*common, args.n_particles, backward=args.backward,
+                                  parallel=args.parallel, gradient=args.gradient,
+                                  resampling=args.resampling), True
+    if style == "csmc-guided":
+        return sp.get_guided_csmc_kernel(*common, args.n_particles,
+                                         backward=args.backward,
+                                         gradient=args.gradient,
+                                         resampling=args.resampling), True
+    raise ValueError(f"unknown style {style!r}")
+
+
+def main(argv=None):
+    p = cli.base_parser("Spatio-temporal Student-t experiment")
+    p.add_argument("--T", type=int, default=1024)
+    p.add_argument("--D", type=int, default=8, help="grid side; state dim = D^2")
+    args = p.parse_args(argv)
+    cli.apply_backend(args)
+
+    rng = np.random.default_rng(args.seed)
+    xs_true, ys_np = sp.get_data(rng, SIGMA_X, R_Y, TAU, NU, args.D, args.T)
+    ys = jnp.asarray(ys_np)
+    stencil = jnp.asarray(precision_stencil(TAU, R_Y))
+    x0 = sp.init_x_fn(jax.random.key(args.seed + 1), ys, SIGMA_X, NU, stencil,
+                      args.D, max(args.n_particles, 32))
+
+    (init, kernel), is_csmc = build_kernel(args.style, ys, args)
+    state = init(x0)
+
+    delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)
+    cfg = cli.run_config(args)
+    res = run_chain(jax.random.key(args.seed + 2), kernel, state, cfg,
+                    collect_samples=False, delta_init=delta0)
+
+    acc = float(jnp.mean(res.stats.accept_cum))
+    print(f"style={args.style} T={args.T} D={args.D} (d={args.D ** 2}): "
+          f"time={res.sampling_time:.2f}s "
+          f"({cfg.n_samples / res.sampling_time:.1f} samples/s), acc={acc:.3f}, "
+          f"mean EJSD={float(jnp.mean(res.stats.ejsd)):.4g}")
+
+    cli.save_results(args.out, mean_x=res.stats.mean_x, var_x=res.stats.mean_x2
+                     - res.stats.mean_x ** 2, ejsd=res.stats.ejsd,
+                     delta=res.delta, xs_true=xs_true, ys=ys_np,
+                     sampling_time=res.sampling_time)
+    return res
+
+
+if __name__ == "__main__":
+    main()

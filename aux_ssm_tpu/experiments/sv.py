@@ -1,0 +1,72 @@
+"""Stochastic-volatility experiment driver (reference
+`examples/stochastic_volatility/experiment.py` capability; default config
+T=250, D=30, N=25, 10k/2.5k, target alpha 0.5).
+
+    python -m aux_ssm_tpu.experiments.sv --style kalman-2 --T 250 --D 30
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import stochastic_volatility as sv
+from ..utils.ess import effective_sample_size
+from . import cli
+from .runner import run_chain
+
+NU, PHI, TAU, RHO = 0.0, 0.9, 2.0, 0.25
+
+
+def build_kernel(style, ys, args):
+    if style in ("kalman-1", "kalman-2"):
+        order = 1 if style == "kalman-1" else 2
+        return sv.get_kalman_kernel(ys, NU, PHI, TAU, RHO, args.parallel, order=order)
+    if style == "csmc":
+        return sv.get_csmc_kernel(ys, NU, PHI, TAU, RHO, args.n_particles,
+                                  backward=args.backward, parallel=args.parallel,
+                                  gradient=args.gradient, resampling=args.resampling)
+    if style == "csmc-guided":
+        return sv.get_guided_csmc_kernel(ys, NU, PHI, TAU, RHO, args.n_particles,
+                                         backward=args.backward, gradient=args.gradient,
+                                         resampling=args.resampling)
+    raise ValueError(f"unknown style {style!r}")
+
+
+def main(argv=None):
+    p = cli.base_parser("Stochastic-volatility experiment")
+    p.add_argument("--T", type=int, default=250)
+    p.add_argument("--D", type=int, default=30)
+    args = p.parse_args(argv)
+    cli.apply_backend(args)
+
+    key = jax.random.key(args.seed)
+    data_key, init_key, run_key = jax.random.split(key, 3)
+    xs_true, ys = sv.get_data(data_key, NU, PHI, TAU, RHO, args.D, args.T)
+    x0 = sv.init_x_fn(init_key, ys, NU, PHI, TAU, RHO, max(args.n_particles, 32))
+
+    init, kernel = build_kernel(args.style, ys, args)
+    state = init(x0)
+
+    is_csmc = args.style.startswith("csmc")
+    delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)
+    cfg = cli.run_config(args)
+    res = run_chain(run_key, kernel, state, cfg, collect_samples=True,
+                    delta_init=delta0)
+    samples = np.asarray(res.samples)
+
+    ess_mid = float(effective_sample_size(samples[:, args.T // 2, 0]))
+    print(f"style={args.style} T={args.T} D={args.D}: "
+          f"time={res.sampling_time:.2f}s "
+          f"({cfg.n_samples / res.sampling_time:.1f} samples/s), "
+          f"acc={float(jnp.mean(res.stats.accept_cum)):.3f}, "
+          f"mean EJSD={float(jnp.mean(res.stats.ejsd)):.4g}, "
+          f"EJSD/s={float(jnp.mean(res.stats.ejsd)) * cfg.n_samples / res.sampling_time:.4g}, "
+          f"ESS(x_mid)={ess_mid:.1f}")
+
+    cli.save_results(args.out, samples_mean=samples.mean(0), samples_std=samples.std(0),
+                     ejsd=res.stats.ejsd, delta=res.delta, xs_true=xs_true,
+                     ys=ys, sampling_time=res.sampling_time)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,10 @@ class OnlineStats:
     ejsd       — running mean of (x_{k+1} - x_k)^2, per trajectory element
     mean_x     — running mean of x
     mean_x2    — running mean of x^2
-    accept_cum — cumulative mean acceptance rate
-    accept_win — beta-EMA (windowed) acceptance rate
+    accept_cum — cumulative mean acceptance rate; keeps the native shape of
+                 the kernel's `updated` field (scalar for Kalman, per-time-
+                 step (T,) for cSMC — enabling time-local delta adaptation)
+    accept_win — beta-EMA (windowed) acceptance rate, same shape
     step       — iteration counter
     """
     ejsd: chex.Array
@@ -31,14 +33,14 @@ class OnlineStats:
     step: chex.Array
 
 
-def init_stats(x0):
+def init_stats(x0, accept_shape=()):
     z = jnp.zeros_like(x0)
     return OnlineStats(
         ejsd=z,
         mean_x=z,
         mean_x2=z,
-        accept_cum=jnp.zeros((), dtype=x0.dtype),
-        accept_win=jnp.zeros((), dtype=x0.dtype),
+        accept_cum=jnp.zeros(accept_shape, dtype=x0.dtype),
+        accept_win=jnp.zeros(accept_shape, dtype=x0.dtype),
         step=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -46,10 +48,11 @@ def init_stats(x0):
 def update_stats(stats: OnlineStats, x_prev, x_new, accepted, beta: float = 0.05,
                  weight: Optional[jnp.ndarray] = None):
     """One online update. `accepted` may be a scalar bool (Kalman) or a (T,)
-    vector (cSMC) — it is averaged to a rate. `beta` is the EMA window rate."""
+    vector (cSMC); its shape is preserved in the acceptance statistics.
+    `beta` is the EMA window rate."""
     k = stats.step + 1
     fk = k.astype(stats.mean_x.dtype)
-    rate = jnp.mean(accepted.astype(stats.mean_x.dtype)) if weight is None else weight
+    rate = accepted.astype(stats.mean_x.dtype) if weight is None else weight
 
     jump2 = (x_new - x_prev) ** 2
     return OnlineStats(
