@@ -32,14 +32,13 @@ from .lgssm import LGSSM, mask_observation, _LOG_2PI
 _PALLAS_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _use_fused_scan(elems):
-    """Use the fused Pallas scan when on TPU, unbatched layout, and the
-    element set fits VMEM. Overridable via AUX_SSM_PALLAS=0/1."""
+def use_pallas(bs, cs=None):
+    """Use the fused Pallas kernels when on TPU, unbatched layout, and the
+    working set fits VMEM. Overridable via AUX_SSM_PALLAS=0/1."""
     flag = os.environ.get("AUX_SSM_PALLAS", "auto")
     if flag == "0":
         return False
-    b = elems[1]
-    if b.ndim != 2:          # batched (T, B, ...) layout: XLA path
+    if bs.ndim != 2:         # batched (T, B, ...) layout: XLA path
         return False
     try:
         platform = jax.devices()[0].platform
@@ -49,8 +48,10 @@ def _use_fused_scan(elems):
     if flag == "1":
         return True
     from .pallas.filter_scan import vmem_estimate_bytes
-    T, d = b.shape
-    return on_tpu and vmem_estimate_bytes(T, d, b.dtype.itemsize) <= _PALLAS_VMEM_BUDGET
+    T, d = bs.shape
+    dy = cs.shape[-1] if cs is not None else d
+    return on_tpu and vmem_estimate_bytes(T, max(d, dy), bs.dtype.itemsize) \
+        <= _PALLAS_VMEM_BUDGET
 
 
 def filtering(ys, lgssm: LGSSM, parallel: bool):
@@ -150,11 +151,19 @@ def _sequential_filtering(m0, P0, ys, Fs, Qs, bs, Hs, Rs, cs):
 def _parallel_filtering(m0, P0, ys, Fs, Qs, bs, Hs, Rs, cs):
     m0, P0, ell0 = kalman_update(ys[0], m0, P0, Hs[0], cs[0], Rs[0])
 
-    elems = _make_associative_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:], m0, P0)
-    if _use_fused_scan(elems):
+    fused = use_pallas(bs, cs)
+    if fused:
+        from .pallas.kalman_fused import fused_make_elements, fused_ell
         from .pallas.filter_scan import fused_filter_scan
+        T = bs.shape[0]
+        m_el = jnp.concatenate([m0[None], jnp.zeros((T - 1,) + m0.shape, m0.dtype)], 0)
+        P_el = jnp.concatenate([P0[None], jnp.zeros((T - 1,) + P0.shape, P0.dtype)], 0)
+        elems = fused_make_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:],
+                                    m_el, P_el)
         _, ms, Ps, _, _ = fused_filter_scan(elems)
     else:
+        elems = _make_associative_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:],
+                                           ys[1:], m0, P0)
         _, ms, Ps, _, _ = jax.lax.associative_scan(filtering_operator, elems)
 
     ms = jnp.concatenate([m0[None], ms], axis=0)
@@ -162,9 +171,14 @@ def _parallel_filtering(m0, P0, ys, Fs, Qs, bs, Hs, Rs, cs):
 
     # The scan produces the filtered means/covs; the log-likelihood increments
     # are recovered by one embarrassingly-parallel predict+update per step.
-    *_, ell_incs = kalman_predict_update(
-        ms[:-1], Ps[:-1], Fs, bs, Qs, ys[1:], Hs[1:], cs[1:], Rs[1:]
-    )
+    if fused:
+        from .pallas.kalman_fused import fused_ell
+        ell_incs = fused_ell(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:],
+                             ms[:-1], Ps[:-1])
+    else:
+        *_, ell_incs = kalman_predict_update(
+            ms[:-1], Ps[:-1], Fs, bs, Qs, ys[1:], Hs[1:], cs[1:], Rs[1:]
+        )
     return ms, Ps, ell0 + jnp.sum(ell_incs, axis=0)
 
 

@@ -29,72 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 _slice = jax.lax.slice_in_dim
 
 
-def _ent(row, k):
-    """Entry k of a matrix row: (1, T) slice of a (d, T) array."""
-    return _slice(row, k, k + 1, axis=0)
-
-
-def _mat_transpose(X, d):
-    """Row-list transpose: XT[i] = column i of X."""
-    return [jnp.concatenate([_ent(X[k], i) for k in range(d)], axis=0)
-            for i in range(d)]
-
-
-def _mat_mul(X, Y, d):
-    """Row-list matmul: out[i] = sum_k X[i][k] * Y[k]."""
-    out = []
-    for i in range(d):
-        acc = _ent(X[i], 0) * Y[0]
-        for k in range(1, d):
-            acc = acc + _ent(X[i], k) * Y[k]
-        out.append(acc)
-    return out
-
-
-def _mat_vec(X, v, d):
-    """Row-list matrix-vector: out (d, T); v is (d, T)."""
-    rows = []
-    for i in range(d):
-        acc = _ent(X[i], 0) * _ent(v, 0)
-        for k in range(1, d):
-            acc = acc + _ent(X[i], k) * _ent(v, k)
-        rows.append(acc)
-    return jnp.concatenate(rows, axis=0)
-
-
-def _mat_add(X, Y, d):
-    return [X[i] + Y[i] for i in range(d)]
-
-
-def _mat_sym(X, d):
-    XT = _mat_transpose(X, d)
-    return [0.5 * (X[i] + XT[i]) for i in range(d)]
-
-
-def _mat_eye(d, T, dtype):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d, T), 0)
-    return [jnp.where(lane == i, jnp.ones((), dtype), jnp.zeros((), dtype))
-            for i in range(d)]
-
-
-def _gj_inv(M, d, T):
-    """Gauss–Jordan inverse without pivoting on a row list (lane-batched).
-    Row writes are plain Python list assignment — zero data movement."""
-    M = list(M)
-    Z = _mat_eye(d, T, M[0].dtype)
-    for k in range(d):
-        inv_p = 1.0 / _ent(M[k], k)          # (1, T)
-        Mk = M[k] * inv_p
-        Zk = Z[k] * inv_p
-        for i in range(d):
-            if i == k:
-                continue
-            f = _ent(M[i], k)                # (1, T)
-            M[i] = M[i] - f * Mk
-            Z[i] = Z[i] - f * Zk
-        M[k] = Mk
-        Z[k] = Zk
-    return Z
+from . import lanelin as ll
 
 
 def _combine(left, right, d, T):
@@ -103,30 +38,21 @@ def _combine(left, right, d, T):
     A1, b1, C1, e1, J1 = left
     A2, b2, C2, e2, J2 = right
 
-    M = _mat_add(_mat_mul(C1, J2, d), _mat_eye(d, T, b1.dtype), d)
-    Z = _gj_inv(M, d, T)
+    M = ll.mat_add(ll.mat_mul(C1, J2), ll.mat_eye(d, T, b1.dtype))
+    Z = ll.gj_inv(M, d, T)
 
-    A2Z = _mat_mul(A2, Z, d)
-    ZA1 = _mat_mul(Z, A1, d)
-    ZA1T = _mat_transpose(ZA1, d)
-    A2T = _mat_transpose(A2, d)
+    A2Z = ll.mat_mul(A2, Z)
+    ZA1 = ll.mat_mul(Z, A1)
+    ZA1T = ll.mat_transpose(ZA1)
+    A2T = ll.mat_transpose(A2)
 
-    A = _mat_mul(A2Z, A1, d)
-    b = _mat_vec(A2Z, b1 + _mat_vec(C1, e2, d), d) + b2
-    C = _mat_add(_mat_mul(A2Z, _mat_mul(C1, A2T, d), d), C2, d)
-    e = _mat_vec(ZA1T, e2 - _mat_vec(J2, b1, d), d) + e1
-    J = _mat_add(_mat_mul(ZA1T, _mat_mul(J2, A1, d), d), J1, d)
+    A = ll.mat_mul(A2Z, A1)
+    b = ll.mat_vec(A2Z, b1 + ll.mat_vec(C1, e2)) + b2
+    C = ll.mat_add(ll.mat_mul(A2Z, ll.mat_mul(C1, A2T)), C2)
+    e = ll.mat_vec(ZA1T, e2 - ll.mat_vec(J2, b1)) + e1
+    J = ll.mat_add(ll.mat_mul(ZA1T, ll.mat_mul(J2, A1)), J1)
 
-    return A, b, _mat_sym(C, d), e, _mat_sym(J, d)
-
-
-def _load_mat(ref, d, T):
-    X = ref[:]
-    return [_slice(X, i, i + 1, axis=0).reshape(d, T) for i in range(d)]
-
-
-def _store_mat(ref, rows, d, T):
-    ref[:] = jnp.concatenate([r.reshape(1, d, T) for r in rows], axis=0)
+    return A, b, ll.mat_sym(C), e, ll.mat_sym(J)
 
 
 def _roll_mat(rows, s):
@@ -146,9 +72,9 @@ def _scan_kernel(A_ref, b_ref, C_ref, e_ref, J_ref,
     across lanes) implements the classic block-scan without a second pass."""
     i = pl.program_id(0)
 
-    A = _load_mat(A_ref, d, B)
-    C = _load_mat(C_ref, d, B)
-    J = _load_mat(J_ref, d, B)
+    A = ll.mat_from_ref(A_ref, d, d, B)
+    C = ll.mat_from_ref(C_ref, d, d, B)
+    J = ll.mat_from_ref(J_ref, d, d, B)
     b = b_ref[:]
     e = e_ref[:]
 
@@ -172,32 +98,32 @@ def _scan_kernel(A_ref, b_ref, C_ref, e_ref, J_ref,
     # Initialise the carry to the identity element on the first block.
     @pl.when(i == 0)
     def _():
-        ident = _mat_eye(d, B, b.dtype)
+        ident = ll.mat_eye(d, B, b.dtype)
         zero = jnp.zeros_like(b)
-        _store_mat(cA_ref, ident, d, B)
+        ll.mat_to_ref(cA_ref, ident, d, B)
         cb_ref[:] = zero
-        _store_mat(cC_ref, [jnp.zeros_like(r) for r in ident], d, B)
+        ll.mat_to_ref(cC_ref, [jnp.zeros_like(r) for r in ident], d, B)
         ce_ref[:] = zero
-        _store_mat(cJ_ref, [jnp.zeros_like(r) for r in ident], d, B)
+        ll.mat_to_ref(cJ_ref, [jnp.zeros_like(r) for r in ident], d, B)
 
     carry = (
-        _load_mat(cA_ref, d, B), cb_ref[:], _load_mat(cC_ref, d, B),
-        ce_ref[:], _load_mat(cJ_ref, d, B),
+        ll.mat_from_ref(cA_ref, d, d, B), cb_ref[:], ll.mat_from_ref(cC_ref, d, d, B),
+        ce_ref[:], ll.mat_from_ref(cJ_ref, d, d, B),
     )
     A, b, C, e, J = _combine(carry, (A, b, C, e, J), d, B)
 
-    _store_mat(oA_ref, A, d, B)
+    ll.mat_to_ref(oA_ref, A, d, B)
     ob_ref[:] = b
-    _store_mat(oC_ref, C, d, B)
+    ll.mat_to_ref(oC_ref, C, d, B)
     oe_ref[:] = e
-    _store_mat(oJ_ref, J, d, B)
+    ll.mat_to_ref(oJ_ref, J, d, B)
 
     # New carry = the combined element at the last lane, lane-replicated.
-    _store_mat(cA_ref, [_replicate_last_lane(r, B) for r in A], d, B)
+    ll.mat_to_ref(cA_ref, [_replicate_last_lane(r, B) for r in A], d, B)
     cb_ref[:] = _replicate_last_lane(b, B)
-    _store_mat(cC_ref, [_replicate_last_lane(r, B) for r in C], d, B)
+    ll.mat_to_ref(cC_ref, [_replicate_last_lane(r, B) for r in C], d, B)
     ce_ref[:] = _replicate_last_lane(e, B)
-    _store_mat(cJ_ref, [_replicate_last_lane(r, B) for r in J], d, B)
+    ll.mat_to_ref(cJ_ref, [_replicate_last_lane(r, B) for r in J], d, B)
 
 
 def _to_lane_major(z):

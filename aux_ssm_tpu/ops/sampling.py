@@ -35,7 +35,13 @@ def sampling(key, ms, Ps, lgssm: LGSSM, parallel: bool):
     """
     gains, incs = _backward_maps(key, ms, Ps, lgssm.Fs, lgssm.Qs, lgssm.bs)
     if parallel:
-        _, xs = jax.lax.associative_scan(sampling_operator, (gains, incs), reverse=True)
+        from .filtering import use_pallas
+        if use_pallas(incs):
+            from .pallas.kalman_fused import fused_affine_scan
+            _, xs = fused_affine_scan(gains, incs, reverse=True)
+        else:
+            _, xs = jax.lax.associative_scan(sampling_operator, (gains, incs),
+                                             reverse=True)
     else:
         def body(carry, inp):
             carry = sampling_operator(carry, inp)
