@@ -133,6 +133,27 @@ def prior_logpdf(xs, lgssm):
     return out + jnp.nansum(trans)
 
 
+def trajectory_logdensity(ys, xs, lgssm):
+    """log p(x_{0:T}) + log p(y_{0:T} | x_{0:T}) — the unnormalised joint.
+    Uses a fused Pallas kernel on TPU for the t >= 1 steps."""
+    from .filtering import use_pallas
+    m0, P0, Fs, Qs, bs, Hs, Rs, cs = lgssm
+    if use_pallas(bs, cs):
+        from .pallas.kalman_fused import fused_logdensity_steps
+        steps = fused_logdensity_steps(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:],
+                                       ys[1:], xs[:-1], xs[1:])
+        if m0.shape[-1] == 1:
+            var0 = P0[..., 0, 0]
+            d0 = xs[0, ..., 0] - m0[..., 0]
+            first = -0.5 * (d0 * d0 / var0 + jnp.log(var0) + _LOG_2PI)
+        else:
+            first = mvn_logpdf(xs[0], m0, jnp.linalg.cholesky(P0))
+        pred0 = jnp.einsum("...ij,...j->...i", Hs[0], xs[0]) + cs[0]
+        first = first + _masked_step_logpdf(ys[0], pred0, Rs[0])
+        return jnp.sum(first) + jnp.sum(steps)
+    return log_likelihood(ys, xs, lgssm) + prior_logpdf(xs, lgssm)
+
+
 def posterior_logpdf(ys, xs, ell, lgssm):
     """log p(x_{0:T} | y_{0:T}) = log p(y|x) - log p(y) + log p(x)."""
-    return log_likelihood(ys, xs, lgssm) - ell + prior_logpdf(xs, lgssm)
+    return trajectory_logdensity(ys, xs, lgssm) - ell

@@ -322,3 +322,157 @@ def fused_affine_scan(gains, incs, reverse=False, interpret=False):
     if reverse:
         oG, oe = oG[::-1], oe[::-1]
     return oG, oe
+
+
+# --------------------------------------------------------------------------
+# Trajectory log-density contributions (see ops/lgssm.posterior_logpdf)
+# --------------------------------------------------------------------------
+
+def _logdensity_kernel(F_ref, Q_ref, b_ref, H_ref, R_ref, c_ref, y_ref,
+                       xp_ref, xc_ref, out_ref, *, dx, dy, T):
+    """Per-step contribution for t >= 1:
+    log N(x_t; F x_{t-1} + b, Q) + masked log N(y_t; H x_t + c, R)."""
+    F = ll.mat_from_ref(F_ref, dx, dx, T)
+    Q = ll.mat_from_ref(Q_ref, dx, dx, T)
+    b = b_ref[:]
+    H = ll.mat_from_ref(H_ref, dy, dx, T)
+    R = ll.mat_from_ref(R_ref, dy, dy, T)
+    c = c_ref[:]
+    y = y_ref[:]
+    x_prev = xp_ref[:]
+    x_cur = xc_ref[:]
+
+    # Transition density.
+    Lq, log_det_q = ll.chol(Q, dx, T)
+    diff = x_cur - (ll.mat_vec(F, x_prev) + b)
+    wq = ll.rows_vec(ll.tri_solve_lower(Lq, ll.vec_rows(diff, dx), dx))
+    trans = (-0.5 * jnp.sum(wq * wq, axis=0, keepdims=True)
+             - log_det_q - 0.5 * dx * _LOG_2PI)
+
+    # Masked observation density.
+    y_eff, H_eff, c_eff, R_eff, mask, fmask = _masked_obs(H, c, R, y, dy, T)
+    Lr, log_det_r = ll.chol(R_eff, dy, T)
+    innov = jnp.where(mask, y_eff - ll.mat_vec(H_eff, x_cur) - c_eff, 0.0)
+    wr = ll.rows_vec(ll.tri_solve_lower(Lr, ll.vec_rows(innov, dy), dy))
+    n_obs = jnp.sum(fmask, axis=0, keepdims=True)
+    obs = (-0.5 * jnp.sum(wr * wr, axis=0, keepdims=True)
+           - log_det_r - 0.5 * n_obs * _LOG_2PI)
+
+    out_ref[:] = trans + obs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_logdensity_steps(Fs, Qs, bs, Hs, Rs, cs, ys, x_prev, x_cur,
+                           interpret=False):
+    """(T-1,) per-step contributions of log p(x_t | x_{t-1}) + log p(y_t|x_t)
+    for t = 1..T-1; add the t=0 terms at the XLA level."""
+    T, dx = bs.shape
+    dy = cs.shape[-1]
+    Tp = ((T + _BLOCK - 1) // _BLOCK) * _BLOCK
+
+    args = []
+    for z, fill in ((Fs, "eye"), (Qs, "eye"), (bs, 0.0), (Hs, 0.0), (Rs, "eye"),
+                    (cs, 0.0), (ys, jnp.nan), (x_prev, 0.0), (x_cur, 0.0)):
+        if Tp != T:
+            if fill == "eye":
+                d_ = z.shape[-1]
+                pad = jnp.broadcast_to(jnp.eye(d_, dtype=z.dtype), (Tp - T, d_, d_))
+                z = jnp.concatenate([z, pad], axis=0)
+            else:
+                z = _pad_lanes(z, Tp, fill)
+        args.append(_lm(z))
+
+    def spec(shape):
+        if len(shape) == 3:
+            return pl.BlockSpec((shape[0], shape[1], _BLOCK), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((shape[0], _BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_logdensity_kernel, dx=dx, dy=dy, T=_BLOCK),
+        grid=(Tp // _BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((1, Tp), bs.dtype),
+        in_specs=[spec(z.shape) for z in args],
+        out_specs=pl.BlockSpec((1, _BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out[0, :T]
+
+
+# --------------------------------------------------------------------------
+# Backward-sampling map construction (see ops/sampling.backward_map_moments)
+# --------------------------------------------------------------------------
+
+def _backward_maps_kernel(F_ref, Q_ref, b_ref, m_ref, P_ref, eps_ref,
+                          G_ref, inc_ref, *, dx, T):
+    F = ll.mat_from_ref(F_ref, dx, dx, T)
+    Q = ll.mat_from_ref(Q_ref, dx, dx, T)
+    b = b_ref[:]
+    m = m_ref[:]
+    P = ll.mat_from_ref(P_ref, dx, dx, T)
+    eps = eps_ref[:]
+
+    FT = ll.mat_transpose(F)
+    S = ll.mat_sym(ll.mat_add(ll.mat_mul(F, ll.mat_mul(P, FT)), Q))
+    FP = ll.mat_mul(F, P)
+    SinvFP, _ = ll.spd_solve(S, FP, dx, T)
+    gain = ll.mat_transpose(SinvFP)                # P F^T S^{-1}
+
+    cov = ll.mat_sym(ll.mat_sub(P, ll.mat_mul(gain, ll.mat_mul(S,
+                                    ll.mat_transpose(gain)))))
+    # Jittered Cholesky for (possibly singular) conditional covariance:
+    # mirror ops/chol.safe_cholesky (relative jitter, NaN -> 0).
+    trace = cov[0] * 0.0
+    for i in range(dx):
+        trace = trace + ll.ent(cov[i], i)
+    jitter = (32.0 * float(jnp.finfo(b.dtype).eps) / dx) * trace
+    lane_eye = ll.mat_eye(dx, T, b.dtype)
+    cov = [cov[i] + lane_eye[i] * jitter for i in range(dx)]
+    L, _ = ll.chol(cov, dx, T)
+    L = [jnp.nan_to_num(r, nan=0.0, posinf=0.0, neginf=0.0) for r in L]
+
+    inc_m = m - ll.mat_vec(gain, ll.mat_vec(F, m) + b)
+    inc = inc_m + ll.mat_vec(L, eps)
+
+    ll.mat_to_ref(G_ref, gain, dx, T)
+    inc_ref[:] = inc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_backward_maps(Fs, Qs, bs, ms, Ps, eps, interpret=False):
+    """Backward-sampling gains and noise-carrying increments for steps
+    0..T-2 (the last step is handled at the XLA level)."""
+    T, dx = bs.shape
+    Tp = ((T + _BLOCK - 1) // _BLOCK) * _BLOCK
+
+    args = []
+    for z, fill in ((Fs, "eye"), (Qs, "eye"), (bs, 0.0), (ms, 0.0),
+                    (Ps, "eye"), (eps, 0.0)):
+        if Tp != T:
+            if fill == "eye":
+                d_ = z.shape[-1]
+                pad = jnp.broadcast_to(jnp.eye(d_, dtype=z.dtype), (Tp - T, d_, d_))
+                z = jnp.concatenate([z, pad], axis=0)
+            else:
+                z = _pad_lanes(z, Tp, fill)
+        args.append(_lm(z))
+
+    def spec(shape):
+        if len(shape) == 3:
+            return pl.BlockSpec((shape[0], shape[1], _BLOCK), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((shape[0], _BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    G, inc = pl.pallas_call(
+        functools.partial(_backward_maps_kernel, dx=dx, T=_BLOCK),
+        grid=(Tp // _BLOCK,),
+        out_shape=(jax.ShapeDtypeStruct((dx, dx, Tp), bs.dtype),
+                   jax.ShapeDtypeStruct((dx, Tp), bs.dtype)),
+        in_specs=[spec(z.shape) for z in args],
+        out_specs=(spec((dx, dx, Tp)), spec((dx, Tp))),
+        interpret=interpret,
+    )(*args)
+    return _ulm(G)[:T], _ulm(inc)[:T]

@@ -86,8 +86,13 @@ def backward_map_moments(F, Q, b, m, P):
 def _backward_maps(key, ms, Ps, Fs, Qs, bs):
     eps = jax.random.normal(key, shape=ms.shape, dtype=ms.dtype)
 
-    inc_m, L, gains = backward_map_moments(Fs, Qs, bs, ms[:-1], Ps[:-1])
-    incs = inc_m + mv(L, eps[:-1])
+    from .filtering import use_pallas
+    if use_pallas(bs):
+        from .pallas.kalman_fused import fused_backward_maps
+        gains, incs = fused_backward_maps(Fs, Qs, bs, ms[:-1], Ps[:-1], eps[:-1])
+    else:
+        inc_m, L, gains = backward_map_moments(Fs, Qs, bs, ms[:-1], Ps[:-1])
+        incs = inc_m + mv(L, eps[:-1])
 
     dx = ms.shape[-1]
     P_last = Ps[-1]

@@ -1,0 +1,174 @@
+"""The five BASELINE.md benchmark configurations as one runnable script.
+
+Each config prints a JSON line; configs that need hardware this host lacks
+(multi-host) run in their single-host sharded form on whatever devices exist
+(use XLA_FLAGS=--xla_force_host_platform_device_count=8 + CPU for a virtual
+mesh). `python benchmarks/baseline_configs.py [1|2|3|4|5|all]`.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _jax():
+    import jax
+    return jax
+
+
+def _time_scan(kernel_step, state, n_iter, key):
+    """Single-dispatch timing of n_iter kernel steps."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(c, k):
+        return kernel_step(k, c), None
+
+    f = jax.jit(lambda s: jax.lax.scan(body, s, jax.random.split(key, n_iter))[0])
+    out = f(state)
+    jax.block_until_ready(out)
+    tic = time.perf_counter()
+    out = f(out)
+    jax.block_until_ready(out)
+    return n_iter / (time.perf_counter() - tic), out
+
+
+def config1():
+    """LGSSM T=128 d=2, auxiliary Kalman, single chain on CPU."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import __graft_entry__ as graft
+    from aux_ssm_tpu.kernels.kalman import get_kernel
+
+    dyn, obs, tfn = graft._build_lgssm_model(128, 2)
+    init, kernel = get_kernel(dyn, obs, tfn, parallel=True)
+    sps, _ = _time_scan(lambda k, s: kernel(k, s, jnp.float32(0.5)),
+                        init(jnp.zeros((128, 2), jnp.float32)), 200, jax.random.key(0))
+    return {"config": 1, "name": "lgssm_T128_d2_cpu", "samples_per_sec": round(sps, 2)}
+
+
+def config2():
+    """Stochastic volatility T=512, 2nd-order Kalman, 32 chains (sharded)."""
+    import jax
+    import jax.numpy as jnp
+    from aux_ssm_tpu.models import stochastic_volatility as sv
+    from aux_ssm_tpu.parallel.mesh import make_mesh, CHAINS
+    from aux_ssm_tpu.parallel.chains import shard_chains, chain_keys
+
+    T, D, C = 512, 16, 32
+    xs, ys = sv.get_data(jax.random.key(0), 0.0, 0.9, 2.0, 0.25, D, T)
+    init, kernel = sv.get_kalman_kernel(ys, 0.0, 0.9, 2.0, 0.25, True, order=2)
+    states = jax.vmap(init)(jnp.tile(xs[None], (C, 1, 1)))
+    mesh = make_mesh(axis_names=(CHAINS,))
+    if C % len(jax.devices()) == 0:
+        states = shard_chains(mesh, states)
+
+    def step(key, ss):
+        keys = chain_keys(key, C)
+        return jax.vmap(lambda k, s: kernel(k, s, jnp.float32(1e-2)))(keys, ss)
+
+    sps, _ = _time_scan(step, states, 30, jax.random.key(1))
+    return {"config": 2, "name": "sv_T512_order2_32chains",
+            "chain_samples_per_sec": round(sps * C, 2)}
+
+
+def config3():
+    """Theta-logistic particle Gibbs, N=256, ancestor sampling."""
+    import jax
+    import jax.numpy as jnp
+    from aux_ssm_tpu.models import theta_logistic as tl
+
+    _, ys = tl.get_data(jax.random.key(0), 256)
+    init, kernel = tl.get_pgas_kernel(ys, 256, ancestor_sampling=True)
+    sps, out = _time_scan(lambda k, s: kernel(k, s),
+                          init(jnp.zeros_like(ys)), 100, jax.random.key(1))
+    return {"config": 3, "name": "theta_logistic_pgas_N256",
+            "samples_per_sec": round(sps, 2),
+            "update_rate": round(float(jnp.mean(out.updated.astype(jnp.float32))), 3)}
+
+
+def config4():
+    """Spatio-temporal d=32 grid? BASELINE says d=32 state; we use the
+    spatial model's batched scalar layout at B=d^2 with sharded chains."""
+    import jax
+    import jax.numpy as jnp
+    from aux_ssm_tpu.models import spatial as sp
+
+    T, D = 256, 6  # B = 36 scalar filters, parallel-in-time
+    rng = np.random.default_rng(0)
+    _, ys = sp.get_data(rng, 0.3, 1.0, -0.25, 4.0, D, T)
+    ys = jnp.asarray(ys, jnp.float32)
+    init, kernel = sp.get_kalman_kernel(ys, 0.3, 4.0, -0.25, 1.0, D, parallel=True)
+    x0 = jnp.zeros((T, D * D), jnp.float32)
+    sps, _ = _time_scan(lambda k, s: kernel(k, s, jnp.float32(0.05)),
+                        init(x0), 50, jax.random.key(1))
+    return {"config": 4, "name": "spatial_T256_B36_parallel_scan",
+            "samples_per_sec": round(sps, 2)}
+
+
+def config5():
+    """cSMC T=1024, N=4096 particles sharded with collective resampling.
+    Runs the particle-sharded kernel over all available devices."""
+    import jax
+    import jax.numpy as jnp
+    import chex
+    from jax.scipy.stats import norm
+    from aux_ssm_tpu.parallel.mesh import make_mesh, PARTICLES
+    from aux_ssm_tpu.kernels.csmc_sharded import get_sharded_kernel
+    from aux_ssm_tpu.kernels.csmc_base import (
+        Distribution, UnivariatePotential, Dynamics, Potential)
+
+    T, N = 1024, 4096
+    mesh = make_mesh(axis_names=(PARTICLES,))
+
+    @chex.dataclass
+    class M0(Distribution):
+        def sample(self, key, n):
+            return jax.random.normal(key, (n, 1))
+
+    @chex.dataclass
+    class G0(UnivariatePotential):
+        def __call__(self, x):
+            return jnp.sum(norm.logpdf(x), -1)
+
+    @chex.dataclass
+    class Mt(Dynamics):
+        def sample(self, key, x_t, p):
+            return 0.9 * x_t + 0.5 * jax.random.normal(key, x_t.shape)
+
+        def logpdf(self, x_n, x_t, p):
+            return jnp.sum(norm.logpdf(x_n, 0.9 * x_t, 0.5), -1)
+
+    @chex.dataclass
+    class Gt(Potential):
+        def __call__(self, x_n, x_t, y):
+            return jnp.sum(norm.logpdf(y, x_n, 0.5), -1)
+
+    ys = jnp.zeros((T - 1, 1))
+    init, kernel = get_sharded_kernel(
+        M0(), G0(), Mt(params=jnp.zeros((T - 1, 0))), Gt(params=ys), N, mesh)
+    sps, out = _time_scan(lambda k, s: kernel(k, s),
+                          init(jnp.zeros((T, 1))), 10, jax.random.key(1))
+    return {"config": 5, "name": "csmc_T1024_N4096_sharded",
+            "samples_per_sec": round(sps, 2),
+            "n_devices": len(jax.devices()),
+            "update_rate": round(float(jnp.mean(out.updated.astype(jnp.float32))), 3)}
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    ids = CONFIGS.keys() if which == "all" else [int(which)]
+    for i in ids:
+        try:
+            print(json.dumps(CONFIGS[i]()), flush=True)
+        except Exception as e:  # keep the sweep going
+            print(json.dumps({"config": i, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)

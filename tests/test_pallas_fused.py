@@ -69,3 +69,49 @@ def test_fused_affine_scan(T, d, reverse):
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("T,dx,dy,nan_frac", [(30, 2, 2, 0.0), (70, 3, 2, 0.4)])
+def test_fused_logdensity_steps(T, dx, dy, nan_frac):
+    from aux_ssm_tpu.ops.pallas.kalman_fused import fused_logdensity_steps
+    from aux_ssm_tpu.ops.lgssm import LGSSM, log_likelihood, prior_logpdf
+
+    (m0, P0, Fs, Qs, bs, Hs, Rs, cs), ys = _model(T, dx, dy, seed=2,
+                                                  nan_frac=nan_frac)
+    xs = jnp.asarray(np.random.default_rng(3).standard_normal((T, dx)))
+    lg = LGSSM(m0, P0, Fs, Qs, bs, Hs, Rs, cs)
+
+    want = log_likelihood(ys, xs, lg) + prior_logpdf(xs, lg)
+    steps = fused_logdensity_steps(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:],
+                                   xs[:-1], xs[1:], interpret=True)
+    from aux_ssm_tpu.ops.lgssm import _masked_step_logpdf
+    from aux_ssm_tpu.ops import mvn
+    pred0 = jnp.einsum("ij,j->i", Hs[0], xs[0]) + cs[0]
+    first = mvn.logpdf(xs[0], m0, jnp.linalg.cholesky(P0)) \
+        + _masked_step_logpdf(ys[0], pred0, Rs[0])
+    got = float(first + jnp.sum(steps))
+    np.testing.assert_allclose(got, float(want), rtol=1e-9)
+
+
+@pytest.mark.parametrize("T,dx", [(40, 2), (100, 4)])
+def test_fused_backward_maps(T, dx):
+    from aux_ssm_tpu.ops.pallas.kalman_fused import fused_backward_maps
+    from aux_ssm_tpu.ops.batched import mv
+    from aux_ssm_tpu.ops.sampling import backward_map_moments
+
+    (m0, P0, Fs, Qs, bs, Hs, Rs, cs), ys = _model(T, dx, 2, seed=5)
+    from aux_ssm_tpu.ops.filtering import filtering
+    from aux_ssm_tpu.ops.lgssm import LGSSM
+    lg = LGSSM(m0, P0, Fs, Qs, bs, Hs, Rs, cs)
+    ms, Ps, _ = filtering(ys, lg, False)
+
+    eps = jnp.asarray(np.random.default_rng(6).standard_normal((T - 1, dx)))
+    inc_m, L, gains_w = backward_map_moments(Fs, Qs, bs, ms[:-1], Ps[:-1])
+    incs_w = inc_m + mv(L, eps)
+
+    gains_g, incs_g = fused_backward_maps(Fs, Qs, bs, ms[:-1], Ps[:-1], eps,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(gains_g), np.asarray(gains_w),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(incs_g), np.asarray(incs_w),
+                               rtol=1e-6, atol=1e-8)
