@@ -91,3 +91,22 @@ def test_logspace_identities():
     np.testing.assert_allclose(logsubexp(jnp.log(5.0), jnp.log(3.0)), np.log(2.0), rtol=1e-10)
     x = jnp.array([-1e-3, -1.0, -30.0])
     np.testing.assert_allclose(log1mexp(x), np.log1p(-np.exp(np.asarray(x))), rtol=1e-9)
+
+
+def test_ess_ar1_theory():
+    """ESS of an AR(1) chain must track n (1-rho)/(1+rho)."""
+    import jax
+    from aux_ssm_tpu.utils.ess import effective_sample_size
+    rho, n = 0.8, 200_000
+    key = jax.random.key(0)
+    eps = np.asarray(jax.random.normal(key, (n,)))
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    got = float(effective_sample_size(x))
+    want = n * (1 - rho) / (1 + rho)
+    assert abs(got - want) / want < 0.15, (got, want)
+
+    # known-variance mode
+    got_kv = float(effective_sample_size(x, known_variance=1.0 / (1 - rho ** 2)))
+    assert abs(got_kv - want) / want < 0.15, (got_kv, want)
