@@ -172,7 +172,6 @@ def _parallel_filtering(m0, P0, ys, Fs, Qs, bs, Hs, Rs, cs):
     # The scan produces the filtered means/covs; the log-likelihood increments
     # are recovered by one embarrassingly-parallel predict+update per step.
     if fused:
-        from .pallas.kalman_fused import fused_ell
         ell_incs = fused_ell(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:],
                              ms[:-1], Ps[:-1])
     else:

@@ -200,8 +200,6 @@ def fused_make_elements(Fs, Qs, bs, Hs, Rs, cs, ys, m, P, interpret=False):
     dy = cs.shape[-1]
     Tp = ((T + _BLOCK - 1) // _BLOCK) * _BLOCK
 
-    eyeF = jnp.broadcast_to(jnp.eye(dx, dtype=Fs.dtype), (Tp - T, dx, dx)) \
-        if Tp != T else None
     args = []
     for z, fill in ((Fs, "eye"), (Qs, "eye"), (bs, 0.0), (Hs, 0.0), (Rs, "eye"),
                     (cs, 0.0), (ys, jnp.nan), (m, 0.0), (P, "eye")):
