@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import stochastic_volatility as sv
-from ..utils.ess import effective_sample_size
+from ..utils.analysis import ejsd_per_time, ess_summary
 from . import cli
 from .runner import run_chain
 
@@ -53,14 +53,16 @@ def main(argv=None):
                     delta_init=delta0)
     samples = np.asarray(res.samples)
 
-    ess_mid = float(effective_sample_size(samples[:, args.T // 2, 0]))
+    ess = ess_summary(samples)
+    efficiency = ejsd_per_time(jnp.mean(res.stats.ejsd), res.sampling_time,
+                               cfg.n_samples)
     print(f"style={args.style} T={args.T} D={args.D}: "
           f"time={res.sampling_time:.2f}s "
           f"({cfg.n_samples / res.sampling_time:.1f} samples/s), "
           f"acc={float(jnp.mean(res.stats.accept_cum)):.3f}, "
           f"mean EJSD={float(jnp.mean(res.stats.ejsd)):.4g}, "
-          f"EJSD/s={float(jnp.mean(res.stats.ejsd)) * cfg.n_samples / res.sampling_time:.4g}, "
-          f"ESS(x_mid)={ess_mid:.1f}")
+          f"EJSD/time-per-iter={float(efficiency):.4g}, "
+          f"ESS(quartiles)={[round(v, 1) for v in ess.values()]}")
 
     cli.save_results(args.out, samples_mean=samples.mean(0), samples_std=samples.std(0),
                      ejsd=res.stats.ejsd, delta=res.delta, xs_true=xs_true,
