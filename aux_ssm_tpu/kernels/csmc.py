@@ -96,12 +96,25 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
 
     as_params = ancestor_Pt.params if ancestor_Pt is not None else Mt.params
 
+    # For the default multinomial scheme, hoist the resampling RNG out of
+    # the scan: one (T-1, N) uniform draw up front, inverse-CDF sampling per
+    # step (same law; avoids a per-step threefry chain on TPU).
+    hoisted = resample is resampling_mod.multinomial
+    if hoisted:
+        res_uniforms = jax.random.uniform(
+            jax.random.fold_in(key, 1), (T - 1, N), dtype=x0.dtype)
+    else:
+        res_uniforms = jnp.zeros((T - 1, 1), dtype=x0.dtype)
+
     def body(carry, inp):
         w_prev, x_prev = carry
-        Mt_params, Gt_params, Pt_params, x_star_t, key_t = inp
+        Mt_params, Gt_params, Pt_params, x_star_t, key_t, u_t = inp
         resample_key, ancestor_key, sample_key = jax.random.split(key_t, 3)
 
-        ancestors = resample(resample_key, w_prev)
+        if hoisted:
+            ancestors = resampling_mod.multinomial_from_uniforms(u_t, w_prev)
+        else:
+            ancestors = resample(resample_key, w_prev)
         if ancestor_Pt is not None:
             log_as = jnp.log(w_prev) + ancestor_Pt.logpdf(x_star_t, x_prev, Pt_params)
             a0 = jax.random.choice(ancestor_key, N, p=normalize(log_as))
@@ -115,7 +128,8 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
         return (normalize(log_w), x_t), (x_t, log_w, ancestors)
 
     (w_T, _), (xs, log_ws, ancestors) = jax.lax.scan(
-        body, (w0, x0), (Mt.params, Gt.params, as_params, x_star[1:], keys[1:])
+        body, (w0, x0),
+        (Mt.params, Gt.params, as_params, x_star[1:], keys[1:], res_uniforms),
     )
     xs = jnp.concatenate([x0[None], xs], axis=0)
     log_ws = jnp.concatenate([log_w0[None], log_ws], axis=0)

@@ -24,6 +24,17 @@ def multinomial(key, weights, N=None):
     return indices.at[0].set(0)
 
 
+def multinomial_from_uniforms(u, weights):
+    """Conditional multinomial resampling from precomputed iid uniforms
+    `u` (N,) — same law as `multinomial` (iid categorical at positions
+    1..N-1, index 0 pinned). Lets callers hoist all RNG out of a scan: the
+    per-step work is just a cumsum + searchsorted."""
+    M = weights.shape[0]
+    idx = jnp.searchsorted(jnp.cumsum(weights), u).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, M - 1)
+    return idx.at[0].set(0)
+
+
 def systematic(key, weights, N=None):
     """Conditional systematic resampling (Chopin & Singh 2015, Alg. 4).
 
