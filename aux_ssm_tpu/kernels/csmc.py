@@ -72,7 +72,7 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
 
 
 def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
-                 ancestor_Pt=None):
+                 ancestor_Pt=None, unroll=4):
     """Conditional SMC forward sweep; particle 0 is pinned to `x_star`.
 
     `constrain` (optional) is applied to every particle-axis array — pass a
@@ -83,45 +83,66 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
     `ancestor_Pt` (optional Dynamics) turns on PGAS ancestor sampling: the
     reference particle's ancestor is redrawn from
     w_{t-1} * ancestor_Pt.logpdf(x*_t | x_{t-1}).
+
+    TPU performance design: the per-step body of a `lax.scan` must contain no
+    PRNG work — per-step threefry splits dominate the wall clock for small N
+    (the step math is a handful of (N, d) elementwise ops). All randomness is
+    therefore drawn in three vectorised batches up front:
+
+      * resampling: (T-1, N) uniforms -> inverse-CDF multinomial (or
+        (T-1, 3) uniforms for the systematic scheme) per step;
+      * proposals: (T-1, N, d) standard normals, consumed through the
+        optional ``Mt.sample_from_noise(eps, x_t, params)`` protocol
+        (every location-scale Dynamics implements it; fall back to in-scan
+        ``Mt.sample`` when absent);
+      * PGAS ancestor draws: (T-1,) uniforms -> inverse CDF.
     """
     if constrain is None:
         constrain = lambda z: z
     T = x_star.shape[0]
-    keys = jax.random.split(key, T)
+    key_init, key_res, key_prop, key_anc = jax.random.split(key, 4)
 
-    x0 = constrain(M0.sample(keys[0], N))
+    x0 = constrain(M0.sample(key_init, N))
     x0 = x0.at[0].set(x_star[0])
     log_w0 = G0(x0)
     w0 = normalize(log_w0)
 
     as_params = ancestor_Pt.params if ancestor_Pt is not None else Mt.params
 
-    # For the default multinomial scheme, hoist the resampling RNG out of
-    # the scan: one (T-1, N) uniform draw up front, inverse-CDF sampling per
-    # step (same law; avoids a per-step threefry chain on TPU).
-    hoisted = resample is resampling_mod.multinomial
-    if hoisted:
-        res_uniforms = jax.random.uniform(
-            jax.random.fold_in(key, 1), (T - 1, N), dtype=x0.dtype)
+    if resample is resampling_mod.multinomial:
+        res_u = jax.random.uniform(key_res, (T - 1, N), dtype=x0.dtype)
+        step_resample = resampling_mod.multinomial_from_uniforms
+    elif resample is resampling_mod.systematic:
+        res_u = jax.random.uniform(key_res, (T - 1, 3), dtype=x0.dtype)
+        step_resample = resampling_mod.systematic_from_uniforms
     else:
-        res_uniforms = jnp.zeros((T - 1, 1), dtype=x0.dtype)
+        # Custom scheme: fall back to a per-step key.
+        res_u = jax.random.split(key_res, T - 1)
+        step_resample = resample
+
+    hoist_noise = hasattr(Mt, "sample_from_noise")
+    if hoist_noise:
+        prop_in = jax.random.normal(key_prop, (T - 1,) + x0.shape, dtype=x0.dtype)
+    else:
+        prop_in = jax.random.split(key_prop, T - 1)
+
+    anc_u = jax.random.uniform(key_anc, (T - 1,), dtype=x0.dtype)
 
     def body(carry, inp):
         w_prev, x_prev = carry
-        Mt_params, Gt_params, Pt_params, x_star_t, key_t, u_t = inp
-        resample_key, ancestor_key, sample_key = jax.random.split(key_t, 3)
+        Mt_params, Gt_params, Pt_params, x_star_t, r_t, p_t, ua_t = inp
 
-        if hoisted:
-            ancestors = resampling_mod.multinomial_from_uniforms(u_t, w_prev)
-        else:
-            ancestors = resample(resample_key, w_prev)
+        ancestors = step_resample(r_t, w_prev)
         if ancestor_Pt is not None:
             log_as = jnp.log(w_prev) + ancestor_Pt.logpdf(x_star_t, x_prev, Pt_params)
-            a0 = jax.random.choice(ancestor_key, N, p=normalize(log_as))
+            a0 = resampling_mod.categorical_from_uniform(ua_t, normalize(log_as))
             ancestors = ancestors.at[0].set(a0)
         x_prev = constrain(jnp.take(x_prev, ancestors, axis=0))
 
-        x_t = constrain(Mt.sample(sample_key, x_prev, Mt_params))
+        if hoist_noise:
+            x_t = constrain(Mt.sample_from_noise(p_t, x_prev, Mt_params))
+        else:
+            x_t = constrain(Mt.sample(p_t, x_prev, Mt_params))
         x_t = x_t.at[0].set(x_star_t)
 
         log_w = Gt(x_t, x_prev, Gt_params)
@@ -129,7 +150,8 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
 
     (w_T, _), (xs, log_ws, ancestors) = jax.lax.scan(
         body, (w0, x0),
-        (Mt.params, Gt.params, as_params, x_star[1:], keys[1:], res_uniforms),
+        (Mt.params, Gt.params, as_params, x_star[1:], res_u, prop_in, anc_u),
+        unroll=unroll,
     )
     xs = jnp.concatenate([x0[None], xs], axis=0)
     log_ws = jnp.concatenate([log_w0[None], log_ws], axis=0)
@@ -137,38 +159,55 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
 
 
 def backward_scanning_pass(key, w_T, xs, ancestors):
-    """Trace one genealogy backwards from a draw at the final step."""
+    """Trace one genealogy backwards from a draw at the final step.
+
+    TPU-native formulation: the pointer chase B_t = A_t[B_{t+1}] is a suffix
+    composition of index maps — an associative operation
+    (f ∘ g)[i] = f[g[i]] — so the whole genealogy resolves in O(log T) depth
+    via `lax.associative_scan` instead of a T-step sequential scan.
+    """
     ancestors = ancestors.astype(jnp.int32)
     B_T = jax.random.choice(key, w_T.shape[0], p=w_T).astype(jnp.int32)
 
-    def body(B_t, inp):
-        xs_prev, A_t = inp
-        B_prev = A_t[B_t]
-        return B_prev, (xs_prev[B_prev], B_prev)
+    if ancestors.shape[0] == 0:  # T == 1: nothing to trace
+        return xs[-1, B_T][None], B_T[None]
 
-    _, (traj, picked) = jax.lax.scan(body, B_T, (xs[:-1], ancestors), reverse=True)
-    traj = jnp.concatenate([traj, xs[-1, B_T][None]], axis=0)
-    picked = jnp.concatenate([picked, B_T[None]], axis=0)
+    def compose(f, g):
+        # Batched map composition matching `associative_scan(reverse=True)`'s
+        # combination order: out[k] = g[k][f[k]] gives
+        # suffix[t] = A_t ∘ A_{t+1} ∘ ... ∘ A_{T-2}.
+        return jnp.take_along_axis(g, f, axis=-1)
+
+    # suffix[t] = A_t ∘ A_{t+1} ∘ ... ∘ A_{T-2}; then B_t = suffix[t][B_T].
+    suffix = jax.lax.associative_scan(compose, ancestors, reverse=True)
+    picked = jnp.concatenate([suffix[:, B_T], B_T[None]], axis=0)
+    traj = jnp.take_along_axis(
+        xs, picked[:, None, None], axis=1
+    )[:, 0]
     return traj, picked
 
 
-def backward_sampling_pass(key, Pt: Dynamics, w_T, xs, log_ws):
+def backward_sampling_pass(key, Pt: Dynamics, w_T, xs, log_ws, unroll=4):
     """Whiteley backward sampling: re-draw the index at every step using the
-    smoothing weights log_w_t + log p(x_{t+1} | x_t)."""
-    T = xs.shape[0]
-    keys = jax.random.split(key, T)
+    smoothing weights log_w_t + log p(x_{t+1} | x_t).
 
-    B_T = jax.random.choice(keys[-1], w_T.shape[0], p=w_T)
+    The index draws are inherently sequential (each depends on the chosen
+    x_{t+1}), but the RNG is hoisted: one (T,) uniform batch up front,
+    inverse-CDF categorical inside the scan."""
+    T = xs.shape[0]
+    us = jax.random.uniform(key, (T,), dtype=log_ws.dtype)
+
+    B_T = resampling_mod.categorical_from_uniform(us[-1], w_T)
     x_T = xs[-1, B_T]
 
     def body(x_next, inp):
-        key_t, xs_t, log_w_t, Pt_params = inp
+        u_t, xs_t, log_w_t, Pt_params = inp
         log_w = Pt.logpdf(x_next, xs_t, Pt_params) + log_w_t
-        B_t = jax.random.choice(key_t, log_w.shape[0], p=normalize(log_w))
+        B_t = resampling_mod.categorical_from_uniform(u_t, normalize(log_w))
         return xs_t[B_t], (xs_t[B_t], B_t)
 
-    inputs = (keys[:-1], xs[:-1], log_ws[:-1], Pt.params)
-    _, (traj, picked) = jax.lax.scan(body, x_T, inputs, reverse=True)
+    inputs = (us[:-1], xs[:-1], log_ws[:-1], Pt.params)
+    _, (traj, picked) = jax.lax.scan(body, x_T, inputs, reverse=True, unroll=unroll)
     traj = jnp.concatenate([traj, x_T[None]], axis=0)
     picked = jnp.concatenate([picked, B_T[None]], axis=0)
     return traj, picked

@@ -1,220 +1,235 @@
-"""Auxiliary particle Gibbs with independent (per-time-step) proposals —
-the Finke & Thiery (2021) construction in the auxiliary paradigm, with
-optional Langevin-style gradient shifts and a parallel-in-time path.
+"""Auxiliary particle Gibbs with independent per-time-step Gaussian proposals.
 
-Capability parity with reference `csmc/independent.py:18-268` — independent
-implementation.
+Capability parity with reference ``csmc/independent.py:18-268`` (Finke &
+Thiery-style independent-proposal auxiliary PG, with optional Langevin
+gradient shifts and a parallel-in-time execution path) — clean-room design.
 
-Classical path: proposal at step t is N(u_t + (delta_t/2) * grad_t, delta_t/2 I)
-where `grad = jax.grad` of the whole-trajectory Feynman–Kac log-density at u.
-Auxiliary potential wrappers absorb the model density and the
-proposal/importance corrections so that the inner cSMC targets exactly
-pi(x | u).
+Construction
+------------
+Given a Feynman–Kac model (M0, G0, Mt, Gt) and auxiliary observations
+``u_t = x_t + s_t eps`` with ``s_t = sqrt(delta_t / 2)``, the kernel targets
 
-Parallel path: the same proposals viewed as independent per-time
-Distributions feeding the PIT (divide-and-conquer) kernel.
+    pi(x | u) ∝ [p0(x_0) G0(x_0) prod_t p_t(x_t|x_{t-1}) Gt(x_t, x_{t-1})]
+                 · prod_t N(x_t; u_t, s_t^2 I)
+
+by running an inner cSMC whose *proposal* at step t is the independent
+Gaussian ``N(u_t + shift_t, s_t^2 I)`` (``shift_t = s_t^2 ∇_t log pi(u)``
+when ``gradient=True``, else 0) and whose *potentials* absorb the full model
+density plus the proposal-vs-auxiliary importance ratio.
+
+Design notes (differences from the reference by construction):
+
+- One diagonal-Gaussian building block (`DiagonalGaussian` /
+  `IndependentDynamics`) serves every proposal role — initial, transition,
+  and time-batched parallel — instead of a class per role.
+- The importance ratio ``log N(x; u, s) − log N(x; u + shift, s)`` is
+  evaluated in closed form,
+
+      corr(x) = sum_d shift_d (shift_d − 2 (x_d − u_d)) / (2 s^2),
+
+  which costs one fused elementwise pass (no density evaluations) and is
+  identically zero when ``shift = 0`` — so a single pair of absorbed
+  potentials (`AbsorbedG0`, `AbsorbedGt`) covers the plain and
+  gradient-shifted samplers alike.
 """
+import math
+
 import chex
 import jax
 import jax.numpy as jnp
-from jax.scipy.stats import norm
 
-from .csmc_aux import get_kernel as get_generic_kernel
+from .csmc_aux import get_kernel as get_aux_kernel
 from .csmc_base import CSMCState, Distribution, UnivariatePotential, Dynamics, Potential
 from .pit import get_kernel as get_pit_kernel
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
 def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Potential,
                N: int, backward: bool = False, Pt: Dynamics = None,
                gradient: bool = False, parallel: bool = False,
                resampling="multinomial"):
-    """Auxiliary PG with independent proposals.
+    """Auxiliary PG kernel with independent per-step proposals.
 
-    Parameters mirror the model interface (`csmc_base`); `gradient` turns on
-    the Langevin shift, `parallel` selects the PIT (divide-and-conquer)
-    execution. Returns (init, kernel) with kernel(key, state, delta).
+    ``gradient`` enables the Langevin shift; ``parallel`` runs the inner
+    sweep through the divide-and-conquer PIT kernel instead of the
+    sequential cSMC. Returns ``(init, kernel)`` with
+    ``kernel(key, state, delta) -> CSMCState``; ``delta`` may be a scalar or
+    a (T,) vector.
     """
     if parallel:
-        return _parallel_kernel(M0, G0, Mt, Gt, N, gradient)
-    return _classical_kernel(M0, G0, Mt, Gt, N, backward, Pt, gradient, resampling)
+        return _pit_path(M0, G0, Mt, Gt, N, gradient)
+    return _sequential_path(M0, G0, Mt, Gt, N, backward, Pt, gradient, resampling)
 
 
 def trajectory_logpdf(u, M0, G0, Mt, Gt):
-    """Whole-trajectory Feynman–Kac log-density at u (differentiable; used
-    for the Langevin gradient shift, reference `independent.py:121-134`)."""
-    out = M0.logpdf(u[0]) + G0(u[0])
+    """log of the unnormalised Feynman–Kac density along one trajectory.
 
-    def step(u_next, u_t, Gt_param, Mt_param):
-        return Gt(u_next, u_t, Gt_param) + Mt.logpdf(u_next, u_t, Mt_param)
+    Differentiable in ``u``; its gradient supplies the per-step Langevin
+    shifts (capability of reference ``independent.py:121-134``).
+    """
+    head = M0.logpdf(u[0]) + G0(u[0])
+    pair_terms = jax.vmap(
+        lambda nxt, cur, mp, gp: Mt.logpdf(nxt, cur, mp) + Gt(nxt, cur, gp)
+    )(u[1:], u[:-1], Mt.params, Gt.params)
+    return head + jnp.sum(pair_terms)
 
-    incs = jax.vmap(step)(u[1:], u[:-1], Gt.params, Mt.params)
-    return out + jnp.sum(incs)
+
+def _proposal_geometry(u, scale, M0, G0, Mt, Gt, gradient):
+    """Per-step proposal means/shifts: loc_t = u_t + shift_t with
+    shift_t = scale_t^2 * ∇_t log pi(u) (zero when gradient is off)."""
+    if gradient:
+        g = jax.grad(trajectory_logpdf)(u, M0, G0, Mt, Gt)
+        shift = (scale ** 2)[:, None] * g
+    else:
+        shift = jnp.zeros_like(u)
+    return u + shift, shift
 
 
-def _classical_kernel(M0, G0, Mt, Gt, N, backward, Pt, gradient, resampling):
+def _sequential_path(M0, G0, Mt, Gt, N, backward, Pt, gradient, resampling):
     def factory(u, scale):
-        grad = jax.grad(trajectory_logpdf)(u, M0, G0, Mt, Gt) if gradient else jnp.zeros_like(u)
-        m0 = AuxiliaryM0(u=u[0], sqrt_half_delta=scale[0], grad=grad[0])
-        mt = AuxiliaryMtDynamics(params=(u[1:], scale[1:], grad[1:]))
-        if gradient:
-            g0 = GradientAuxiliaryG0(M0=M0, G0=G0, u=u[0], sqrt_half_delta=scale[0], grad=grad[0])
-            gt = GradientAuxiliaryGt(Mt=Mt, Gt=Gt, params=(u[1:], scale[1:], grad[1:]))
-        else:
-            g0 = AuxiliaryG0(M0=M0, G0=G0)
-            gt = AuxiliaryGt(Mt=Mt, Gt=Gt)
-        return m0, g0, mt, gt
+        loc, shift = _proposal_geometry(u, scale, M0, G0, Mt, Gt, gradient)
+        prop0 = DiagonalGaussian(loc=loc[0], scale=scale[0])
+        propt = IndependentDynamics(params=(loc[1:], scale[1:]))
+        g0 = AbsorbedG0(prior=M0, pot=G0, u=u[0], shift=shift[0], scale=scale[0])
+        gt = AbsorbedGt(
+            trans=Mt, pot=Gt,
+            params=(Mt.params, Gt.params, (u[1:], shift[1:], scale[1:])),
+        )
+        return prop0, g0, propt, gt
 
-    return get_generic_kernel(factory, N, backward, Pt, resampling)
+    return get_aux_kernel(factory, N, backward, Pt, resampling)
 
 
-def _parallel_kernel(M0, G0, Mt, Gt, N, gradient):
-    def factory(u, scale):
-        if gradient:
-            grad = jax.grad(trajectory_logpdf)(u, M0, G0, Mt, Gt)
-            mt = AuxiliaryMtDistribution(params=(u, scale, grad))
-            qt = AuxiliaryMtDistribution(params=(u, scale, None))
-        else:
-            mt = AuxiliaryMtDistribution(params=(u, scale, None))
-            qt = None
-        g0 = AuxiliaryG0(M0=M0, G0=G0)
-        gt = AuxiliaryGt(Mt=Mt, Gt=Gt)
-        return mt, g0, gt, qt
+def _pit_path(M0, G0, Mt, Gt, N, gradient):
+    """Parallel-in-time execution: proposals become time-batched independent
+    Distributions; the gradient correction enters through the importance
+    distribution Qt = N(u, s^2 I) rather than through the potentials."""
 
     def kernel(key, state, delta):
         x = state.x
         T = x.shape[0]
-        sqrt_half_delta = jnp.sqrt(0.5 * delta)
-        if jnp.ndim(sqrt_half_delta) == 0:
-            sqrt_half_delta = jnp.full((T,), sqrt_half_delta, dtype=x.dtype)
-        aux_key, inner_key = jax.random.split(key)
+        scale = jnp.sqrt(0.5 * delta)
+        if jnp.ndim(scale) == 0:
+            scale = jnp.full((T,), scale, dtype=x.dtype)
+        key_u, key_inner = jax.random.split(key)
+        u = x + scale[:, None] * jax.random.normal(key_u, x.shape, dtype=x.dtype)
 
-        u = x + sqrt_half_delta[:, None] * jax.random.normal(aux_key, x.shape, dtype=x.dtype)
-        mt, g0, gt, qt = factory(u, sqrt_half_delta)
-        _, pit_kernel = get_pit_kernel(mt, g0, gt, N, qt)
-        return pit_kernel(inner_key, state)
+        loc, _ = _proposal_geometry(u, scale, M0, G0, Mt, Gt, gradient)
+        proposals = DiagonalGaussian(loc=loc, scale=scale)
+        qt = DiagonalGaussian(loc=u, scale=scale) if gradient else None
+        zeros_d = jnp.zeros_like(u[0])
+        g0 = AbsorbedG0(prior=M0, pot=G0,
+                        u=zeros_d, shift=zeros_d, scale=jnp.ones_like(scale[0]))
+        gt = AbsorbedGt(
+            trans=Mt, pot=Gt,
+            params=(Mt.params, Gt.params,
+                    (jnp.zeros_like(u[1:]), jnp.zeros_like(u[1:]),
+                     jnp.ones_like(scale[1:]))),
+        )
+        _, pit_kernel = get_pit_kernel(proposals, g0, gt, N, qt)
+        return pit_kernel(key_inner, state)
 
     def init(x):
-        T = x.shape[0]
-        return CSMCState(x=x, updated=jnp.zeros((T,), dtype=bool))
+        return CSMCState(x=x, updated=jnp.zeros((x.shape[0],), dtype=bool))
 
     return init, kernel
 
 
 # --------------------------------------------------------------------------
-# Auxiliary proposal/potential wrappers
+# Building blocks
 # --------------------------------------------------------------------------
 
+def _diag_gauss_logpdf(x, loc, scale):
+    """Isotropic Gaussian log-density, reduced over the state dimension.
+    ``scale`` is the scalar standard deviation of every component."""
+    z = (x - loc) / scale
+    d = x.shape[-1]
+    return -0.5 * jnp.sum(z * z, axis=-1) - d * (jnp.log(scale) + _HALF_LOG_2PI)
+
+
+def _shift_correction(x, u, shift, scale):
+    """Closed form of log N(x; u, s^2 I) − log N(x; u + shift, s^2 I)."""
+    num = shift * (shift - 2.0 * (x - u))
+    return jnp.sum(num, axis=-1) / (2.0 * scale ** 2)
+
+
 @chex.dataclass
-class AuxiliaryM0(Distribution):
-    """N(u_0 + (delta_0/2) grad_0, (delta_0/2) I)."""
-    u: chex.Array
-    sqrt_half_delta: chex.Array
-    grad: chex.Array
-
-    def _mean(self):
-        return self.u + self.sqrt_half_delta ** 2 * self.grad
-
-    def logpdf(self, x):
-        return jnp.sum(norm.logpdf(x, self._mean(), self.sqrt_half_delta), axis=-1)
+class DiagonalGaussian(Distribution):
+    """N(loc, scale^2 I) over one time step; ``loc`` is (d,), ``scale`` a
+    scalar. With (T, d)/(T,)-shaped fields and an outer vmap it doubles as
+    the time-batched proposal stack for the PIT kernel."""
+    loc: chex.Array
+    scale: chex.Array
 
     def sample(self, key, N):
-        eps = jax.random.normal(key, (N, *self.u.shape), dtype=self.u.dtype)
-        return self._mean()[None] + self.sqrt_half_delta * eps
+        eps = jax.random.normal(key, (N,) + self.loc.shape, dtype=self.loc.dtype)
+        return self.loc + self.scale * eps
+
+    def logpdf(self, x):
+        return _diag_gauss_logpdf(x, self.loc, self.scale)
 
 
 @chex.dataclass
-class AuxiliaryG0(UnivariatePotential):
-    """G0(x) * M0(x): the initial model density absorbed into the potential."""
-    M0: Distribution
-    G0: UnivariatePotential
-
-    def __call__(self, x):
-        return self.G0(x) + self.M0.logpdf(x)
-
-
-@chex.dataclass
-class GradientAuxiliaryG0(UnivariatePotential):
-    """As `AuxiliaryG0`, plus the N(x; u, .)/N(x; u + shift, .) importance
-    correction for the gradient-shifted proposal."""
-    M0: Distribution
-    G0: UnivariatePotential
-    u: chex.Array
-    sqrt_half_delta: chex.Array
-    grad: chex.Array
-
-    def __call__(self, x):
-        mean = self.u + self.sqrt_half_delta ** 2 * self.grad
-        out = self.G0(x) + self.M0.logpdf(x)
-        out += jnp.sum(norm.logpdf(x, self.u, self.sqrt_half_delta), axis=-1)
-        out -= jnp.sum(norm.logpdf(x, mean, self.sqrt_half_delta), axis=-1)
-        return out
-
-
-@chex.dataclass
-class AuxiliaryMtDynamics(Dynamics):
-    """Independent proposal N(u_t + (delta_t/2) grad_t, (delta_t/2) I) exposed
-    through the Dynamics interface (ignores x_t)."""
+class IndependentDynamics(Dynamics):
+    """Time-indexed independent Gaussian proposals behind the Dynamics
+    interface (the previous state is ignored); params = (loc_t, scale_t)."""
 
     def sample(self, key, x_t, params):
-        u_t, sqrt_half_delta, grad_t = params
-        mean = u_t[None, :] + sqrt_half_delta ** 2 * grad_t[None, :]
-        return mean + sqrt_half_delta * jax.random.normal(key, x_t.shape, dtype=u_t.dtype)
+        return self.sample_from_noise(
+            jax.random.normal(key, x_t.shape, dtype=x_t.dtype), x_t, params)
 
-    def logpdf(self, x_t_p_1, x_t, params):
-        u_t, sqrt_half_delta, grad_t = params
-        mean = u_t + sqrt_half_delta ** 2 * grad_t
-        return jnp.sum(norm.logpdf(x_t_p_1, mean, sqrt_half_delta), axis=-1)
+    def sample_from_noise(self, eps, x_t, params):
+        loc, scale = params
+        return loc + scale * eps
 
-
-@chex.dataclass
-class AuxiliaryMtDistribution(Distribution):
-    """Same proposal exposed through the Distribution interface (for the PIT
-    path); `grad` entry of params may be None."""
-    params: chex.ArrayTree
-
-    def _mean(self):
-        u_t, sqrt_half_delta, grad_t = self.params
-        if grad_t is None:
-            return u_t
-        return u_t + sqrt_half_delta ** 2 * grad_t
-
-    def sample(self, key, N):
-        u_t, sqrt_half_delta, _ = self.params
-        eps = jax.random.normal(key, (N, u_t.shape[-1]), dtype=u_t.dtype)
-        return self._mean()[None, :] + sqrt_half_delta * eps
-
-    def logpdf(self, x):
-        _, sqrt_half_delta, _ = self.params
-        return jnp.sum(norm.logpdf(x, self._mean(), sqrt_half_delta), axis=-1)
+    def logpdf(self, x_next, x_t, params):
+        loc, scale = params
+        return _diag_gauss_logpdf(x_next, loc, scale)
 
 
 @chex.dataclass
-class AuxiliaryGt(Potential):
-    """Model transition density and potential absorbed into the weight."""
-    Mt: Dynamics = None
-    Gt: Potential = None
+class AbsorbedG0(UnivariatePotential):
+    """Initial-step target weight: model density p0 · G0 times the
+    auxiliary-vs-proposal ratio (zero when ``shift`` is zero)."""
+    prior: Distribution
+    pot: UnivariatePotential
+    u: chex.Array
+    shift: chex.Array
+    scale: chex.Array
 
-    def __post_init__(self):
-        self.params = (self.Mt.params, self.Gt.params)
-
-    def __call__(self, x_t_p_1, x_t, params):
-        Mt_params, Gt_params = params
-        return self.Mt.logpdf(x_t_p_1, x_t, Mt_params) + self.Gt(x_t_p_1, x_t, Gt_params)
+    def __call__(self, x):
+        base = self.pot(x) + self.prior.logpdf(x)
+        return base + _shift_correction(x, self.u, self.shift, self.scale)
 
 
 @chex.dataclass
-class GradientAuxiliaryGt(Potential):
-    """As `AuxiliaryGt`, plus the gradient-shift importance correction."""
-    Mt: Dynamics = None
-    Gt: Potential = None
+class AbsorbedGt(Potential):
+    """Transition-step target weight: model transition density · Gt times
+    the auxiliary-vs-proposal ratio. params = (trans_params, pot_params,
+    (u_t, shift_t, scale_t))."""
+    trans: Dynamics = None
+    pot: Potential = None
 
-    def __post_init__(self):
-        self.params = (self.params, self.Mt.params, self.Gt.params)
+    def __call__(self, x_next, x_t, params):
+        trans_params, pot_params, (u, shift, scale) = params
+        base = self.trans.logpdf(x_next, x_t, trans_params)
+        base = base + self.pot(x_next, x_t, pot_params)
+        return base + _shift_correction(x_next, u, shift, scale)
 
-    def __call__(self, x_t_p_1, x_t, params):
-        (u_t, sqrt_half_delta, grad_t), Mt_params, Gt_params = params
-        mean = u_t + sqrt_half_delta ** 2 * grad_t
-        out = self.Mt.logpdf(x_t_p_1, x_t, Mt_params) + self.Gt(x_t_p_1, x_t, Gt_params)
-        out += jnp.sum(norm.logpdf(x_t_p_1, u_t, sqrt_half_delta))
-        out -= jnp.sum(norm.logpdf(x_t_p_1, mean, sqrt_half_delta))
-        return out
+    @property
+    def supports_pairwise_factors(self):
+        """Fused PIT stitching is available when the transition factorises
+        (Gaussian) and the potential only reads x_{t+1}."""
+        return (hasattr(self.trans, "logpdf_factors")
+                and not getattr(self.pot, "prev_dependent", True))
+
+    def pairwise_factors(self, x_left, x_right, params):
+        """Factorise self(x_right[j], x_left[i], params) over all pairs as
+        row_bias[i] + col_bias[j] + row_feat[i] . col_feat[j] (see
+        `csmc_base.Dynamics.logpdf_factors`)."""
+        trans_params, pot_params, (u, shift, scale) = params
+        rf, cf, rb, cb = self.trans.logpdf_factors(x_left, x_right, trans_params)
+        cb = cb + self.pot(x_right, x_right, pot_params)
+        cb = cb + _shift_correction(x_right, u, shift, scale)
+        return rf, cf, rb, cb

@@ -17,10 +17,15 @@ Structure
 - `get_kernel`: the PIT-cSMC kernel over independent per-time proposals.
 
 The N^2 weight matrix is the hot spot at scale (N=4096 -> 16M weights per
-node); `ops/pallas/stitching.py` provides a fused Pallas path used
-automatically for large N on TPU.
+node, 32 GB per tree level if materialised). When the boundary potential
+factorises (`Gt.supports_pairwise_factors` — every Gaussian-transition model
+does, see `csmc_base.Dynamics.logpdf_factors`), the stitching draw runs
+through `ops/pallas/stitching.py`: blockwise MXU pairwise scores + streaming
+row-logsumexp + an exact two-stage categorical, never materialising N^2.
+The generic nested-vmap path remains for arbitrary user potentials.
 """
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +33,7 @@ from jax.scipy.special import logsumexp
 
 from .csmc_base import CSMCState, Distribution, UnivariatePotential, Potential
 from ..ops.resampling import multinomial
+from ..ops.pallas import stitching as _stitch
 
 
 # --------------------------------------------------------------------------
@@ -156,6 +162,109 @@ def stitching_operator(inputs_a, inputs_b, log_weight_fn, n_samples, last_step):
 
 
 # --------------------------------------------------------------------------
+# Fused (factorised) stitching operator
+# --------------------------------------------------------------------------
+
+def _fused_use_pallas(N):
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    if flag == "0" or N > _stitch.MAX_FUSED_N:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _rows_from_uniforms(logits, u):
+    """n iid categorical draws over N from unnormalised log-probs."""
+    m = jnp.max(logits)
+    w = jnp.exp(logits - m)
+    cdf = jnp.cumsum(w)
+    idx = jnp.searchsorted(cdf, u * cdf[-1]).astype(jnp.int32)
+    return jnp.clip(idx, 0, logits.shape[0] - 1)
+
+
+def _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples):
+    """Batched trajectory gather + concat; l_idx/r_idx (P, n)."""
+    (traj_a, log_w_a, orig_a), keys_a, params_a = inputs_a
+    (traj_b, log_w_b, orig_b), keys_b, params_b = inputs_b
+
+    def take(z, idx):
+        # z: (P, block, N, ...) -> gather along the particle axis.
+        expand = idx.reshape(idx.shape[0], 1, idx.shape[1],
+                             *([1] * (z.ndim - 3)))
+        return jnp.take_along_axis(z, jnp.broadcast_to(
+            expand, z.shape[:2] + (idx.shape[1],) + z.shape[3:]), axis=2)
+
+    traj_a = jax.tree.map(lambda z: take(z, l_idx), traj_a)
+    traj_b = jax.tree.map(lambda z: take(z, r_idx), traj_b)
+    orig_a = take(orig_a, l_idx)
+    orig_b = take(orig_b, r_idx)
+
+    cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+    traj = jax.tree.map(cat, traj_a, traj_b)
+    origins = cat(orig_a, orig_b)
+    keys = cat(keys_a, keys_b)
+    params = jax.tree.map(cat, params_a, params_b)
+    log_w = jnp.full_like(cat(log_w_a, log_w_b), -math.log(n_samples))
+    return (traj, log_w, origins), keys, params
+
+
+def fused_stitching_operator(inputs_a, inputs_b, Gt, n_samples, last_step,
+                             use_pallas):
+    """Factorised stitching for one tree level; natively batched over the
+    pair axis (leaves (P, block, N, ...)), drop-in for the vmapped generic
+    `stitching_operator`. Same law: N iid pairs from the flat N^2 softmax
+    with pair 0 pinned to (0, 0) (or one unconditional pair at the root)."""
+    (traj_a, log_w_a, _), _, _ = inputs_a
+    (traj_b, log_w_b, _), keys_b, params_b = inputs_b
+
+    xl = traj_a[:, -1]                                  # (P, N, d)
+    xr = traj_b[:, 0]
+    pb = jax.tree.map(lambda z: z[:, 0], params_b)
+    rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, pb)
+    rb = rb + log_w_a[:, -1]
+    cb = cb + log_w_b[:, 0]
+
+    lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
+           else _stitch.row_lse_xla(rf, cf, cb))       # (P, N)
+    row_logits = rb + lse
+
+    node_keys = keys_b[:, 0]
+    key_rows = jax.vmap(lambda k: jax.random.fold_in(k, 0))(node_keys)
+
+    if last_step:
+        # Root: one unconditional pair; stage 2 is a single matvec in XLA.
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_rows)
+        row = jax.vmap(_rows_from_uniforms)(row_logits, u[:, None])[:, 0]
+        rf_sel = jnp.take_along_axis(rf, row[:, None, None], axis=1)[:, 0]
+        s = jnp.einsum("pk,pjk->pj", rf_sel, cf) + cb
+        u2 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1), ()))(
+            node_keys)
+        col = jax.vmap(_rows_from_uniforms)(s, u2[:, None])[:, 0]
+        l_idx, r_idx = row[:, None], col[:, None]
+        out = _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples)
+        # Match the generic root semantics: squeeze the particle axis.
+        (traj, log_w, origins), keys, params = out
+        traj = jax.tree.map(lambda z: z[:, :, 0], traj)
+        origins = origins[:, :, 0]
+        return (traj, log_w, origins), keys, params
+
+    u_rows = jax.vmap(lambda k: jax.random.uniform(k, (n_samples,)))(key_rows)
+    rows = jax.vmap(_rows_from_uniforms)(row_logits, u_rows)   # (P, n)
+    rows = rows.at[:, 0].set(0)
+
+    rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
+    seed = jax.random.randint(node_keys[0], (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    cols = (_stitch.col_sample(seed, rf_sel, cf, cb) if use_pallas
+            else _stitch.col_sample_xla(seed, rf_sel, cf, cb))  # (P, n)
+    cols = cols.at[:, 0].set(0)
+    return _fused_gather_concat(inputs_a, inputs_b, rows, cols, n_samples)
+
+
+# --------------------------------------------------------------------------
 # PIT-cSMC kernel
 # --------------------------------------------------------------------------
 
@@ -211,12 +320,17 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
     def log_weight_fn(x_left, x_right, params_t):
         return Gt(x_right, x_left, params_t)
 
-    op = jax.vmap(
-        lambda a, b: stitching_operator(a, b, log_weight_fn, N, False)
-    )
-    last_op = jax.vmap(
-        lambda a, b: stitching_operator(a, b, log_weight_fn, N, True)
-    )
+    if getattr(Gt, "supports_pairwise_factors", False):
+        use_pallas = _fused_use_pallas(N)
+        op = lambda a, b: fused_stitching_operator(a, b, Gt, N, False, use_pallas)
+        last_op = lambda a, b: fused_stitching_operator(a, b, Gt, N, True, use_pallas)
+    else:
+        op = jax.vmap(
+            lambda a, b: stitching_operator(a, b, log_weight_fn, N, False)
+        )
+        last_op = jax.vmap(
+            lambda a, b: stitching_operator(a, b, log_weight_fn, N, True)
+        )
 
     inputs = ((xs, log_wts, origins), resample_keys, params)
     (xs_out, _, picked), *_ = dc_map(inputs, op, last_op)

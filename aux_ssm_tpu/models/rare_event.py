@@ -17,7 +17,10 @@ import jax.numpy as jnp
 from jax.scipy.stats import norm
 
 from ..kernels import csmc_aux, csmc_independent
-from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.csmc_base import (
+    Distribution, UnivariatePotential, Dynamics, Potential,
+    diag_gaussian_pair_factors,
+)
 from ..kernels.kalman import get_kernel as get_kalman_generic
 from ..ops.lgssm import LGSSM
 from ..ops.filtering import filtering
@@ -109,10 +112,16 @@ def get_feynman_kac(y, rho, r2, T):
     @chex.dataclass
     class Mt(Dynamics):
         def sample(self, key, x_t, _t):
-            return rho * x_t + sig_x * jax.random.normal(key, x_t.shape)
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, _t)
+
+        def sample_from_noise(self, eps, x_t, _t):
+            return rho * x_t + sig_x * eps
 
         def logpdf(self, x_next, x_t, _t):
             return norm.logpdf(x_next[..., 0], rho * x_t[..., 0], sig_x)
+
+        def logpdf_factors(self, x_prev, x_next, _t):
+            return diag_gaussian_pair_factors(rho * x_prev, x_next, sig_x)
 
     @chex.dataclass
     class G0(UnivariatePotential):
@@ -121,6 +130,8 @@ def get_feynman_kac(y, rho, r2, T):
 
     @chex.dataclass
     class Gt(Potential):
+        prev_dependent = False
+
         def __call__(self, x_next, _x_t, t):
             return (t == T - 1) * norm.logpdf(y, x_next[..., 0], r)
 
@@ -181,10 +192,14 @@ def get_guided_csmc_kernel(y, rho, r2, T, n_particles, backward=True,
         @chex.dataclass
         class GuidedMt(Dynamics):
             def sample(self, key, x_t, params):
+                return self.sample_from_noise(
+                    jax.random.normal(key, x_t.shape), x_t, params)
+
+            def sample_from_noise(self, eps, x_t, params):
                 K, sig_p, u_t, scale_t, t = params
                 x_pred = rho * x_t
                 mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
-                return mu + sig_p * jax.random.normal(key, x_t.shape)
+                return mu + sig_p * eps
 
             def logpdf(self, x_next, x_t, params):
                 K, sig_p, u_t, scale_t, t = params

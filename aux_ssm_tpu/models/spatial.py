@@ -22,7 +22,10 @@ from jax.scipy.stats import norm
 
 from . import t_distribution as tdist
 from ..kernels import csmc_aux, csmc_independent
-from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.csmc_base import (
+    Distribution, UnivariatePotential, Dynamics, Potential,
+    diag_gaussian_pair_factors,
+)
 from ..kernels.kalman import get_kernel as get_kalman_generic
 from ..native.precision import make_precision_dense, precision_stencil
 
@@ -171,10 +174,16 @@ def get_feynman_kac(ys, sigma_x, nu, tau, r_y, d):
     @chex.dataclass
     class Mt(Dynamics):
         def sample(self, key, x_t, _p):
-            return x_t + sigma_x * jax.random.normal(key, x_t.shape)
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, _p)
+
+        def sample_from_noise(self, eps, x_t, _p):
+            return x_t + sigma_x * eps
 
         def logpdf(self, x_next, x_t, _p):
             return jnp.sum(norm.logpdf(x_next, x_t, sigma_x), -1)
+
+        def logpdf_factors(self, x_prev, x_next, _p):
+            return diag_gaussian_pair_factors(x_prev, x_next, sigma_x)
 
     @chex.dataclass
     class G0(UnivariatePotential):
@@ -183,6 +192,8 @@ def get_feynman_kac(ys, sigma_x, nu, tau, r_y, d):
 
     @chex.dataclass
     class Gt(Potential):
+        prev_dependent = False
+
         def __call__(self, x_next, _x_t, y):
             return log_potential_one(x_next, y, nu, stencil, d)
 
@@ -243,9 +254,12 @@ def get_guided_csmc_kernel(ys, sigma_x, nu, tau, r_y, d, n_particles,
     @chex.dataclass
     class GuidedMt(Dynamics):
         def sample(self, key, x_t, params):
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, params)
+
+        def sample_from_noise(self, eps, x_t, params):
             u, scale, y = params
             mu, lam = moments(x_t, u, scale, y)  # broadcasts (N,B) vs (B,)
-            return mu + lam * jax.random.normal(key, x_t.shape)
+            return mu + lam * eps
 
     @chex.dataclass
     class GuidedGt(Potential):

@@ -25,7 +25,10 @@ from jax.scipy.linalg import cho_solve, solve
 from jax.scipy.stats import norm
 
 from ..kernels import csmc_aux, csmc_independent
-from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.csmc_base import (
+    Distribution, UnivariatePotential, Dynamics, Potential,
+    chol_gaussian_pair_factors,
+)
 from ..kernels.kalman import get_kernel as get_kalman_generic
 from ..ops import mvn
 
@@ -195,10 +198,16 @@ def get_feynman_kac(ys, nu, phi, tau, rho):
     @chex.dataclass
     class Mt(Dynamics):
         def sample(self, key, x_t, _params):
-            return x_t @ F.T + b + jax.random.normal(key, x_t.shape) @ chol_Q.T
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, _params)
+
+        def sample_from_noise(self, eps, x_t, _params):
+            return x_t @ F.T + b + eps @ chol_Q.T
 
         def logpdf(self, x_next, x_t, _params):
             return mvn.logpdf(x_next, jnp.einsum("ij,...j->...i", F, x_t) + b, chol_Q)
+
+        def logpdf_factors(self, x_prev, x_next, _params):
+            return chol_gaussian_pair_factors(x_prev @ F.T + b, x_next, chol_Q)
 
     @chex.dataclass
     class G0(UnivariatePotential):
@@ -207,6 +216,8 @@ def get_feynman_kac(ys, nu, phi, tau, rho):
 
     @chex.dataclass
     class Gt(Potential):
+        prev_dependent = False
+
         def __call__(self, x_next, _x_t, y):
             return jnp.sum(norm.logpdf(y, loc=0.0, scale=jnp.exp(0.5 * x_next)), -1)
 
@@ -290,11 +301,14 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
     @chex.dataclass
     class GuidedMt(Dynamics):
         def sample(self, key, x_t, params):
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, params)
+
+        def sample_from_noise(self, eps, x_t, params):
             u, scale, y = params
             K, cholL = gain_and_chol(Q, scale)
             x_pred = x_t @ F.T + b
             mu = x_pred + (shift(u, scale, y)[None] - x_pred) @ K.T
-            return mu + jax.random.normal(key, x_t.shape) @ cholL.T
+            return mu + eps @ cholL.T
 
     @chex.dataclass
     class GuidedGt(Potential):

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 from jax.scipy.stats import norm
 
 from ..kernels import csmc
-from ..kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from ..kernels.csmc_base import (
+    Distribution, UnivariatePotential, Dynamics, Potential,
+    diag_gaussian_pair_factors,
+)
 
 
 DEFAULTS = dict(tau0=0.15, tau1=0.12, tau2=0.10, sig_x=0.3, sig_y=0.1,
@@ -58,12 +61,19 @@ def get_feynman_kac(ys, **params):
     @chex.dataclass
     class Mt(Dynamics):
         def sample(self, key, x_t, _p):
+            return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, _p)
+
+        def sample_from_noise(self, eps, x_t, _p):
             mu = drift(x_t, p["tau0"], p["tau1"], p["tau2"])
-            return mu + p["sig_x"] * jax.random.normal(key, x_t.shape)
+            return mu + p["sig_x"] * eps
 
         def logpdf(self, x_next, x_t, _p):
             mu = drift(x_t, p["tau0"], p["tau1"], p["tau2"])
             return jnp.sum(norm.logpdf(x_next, mu, p["sig_x"]), -1)
+
+        def logpdf_factors(self, x_prev, x_next, _p):
+            mu = drift(x_prev, p["tau0"], p["tau1"], p["tau2"])
+            return diag_gaussian_pair_factors(mu, x_next, p["sig_x"])
 
     @chex.dataclass
     class G0(UnivariatePotential):
@@ -72,6 +82,8 @@ def get_feynman_kac(ys, **params):
 
     @chex.dataclass
     class Gt(Potential):
+        prev_dependent = False
+
         def __call__(self, x_next, _x_t, y):
             return jnp.sum(norm.logpdf(y, x_next, p["sig_y"]), -1)
 

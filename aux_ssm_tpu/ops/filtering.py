@@ -46,7 +46,9 @@ def use_pallas(bs, cs=None):
         return False
     on_tpu = platform in ("tpu", "axon")
     if flag == "1":
-        return True
+        # Forcing the flag still requires a TPU backend: pl.pallas_call
+        # without interpret mode cannot run on CPU/GPU here.
+        return on_tpu
     from .pallas.filter_scan import vmem_estimate_bytes
     T, d = bs.shape
     dy = cs.shape[-1] if cs is not None else d

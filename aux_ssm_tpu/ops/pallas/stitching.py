@@ -1,0 +1,216 @@
+"""Fused N^2 stitching for parallel-in-time cSMC (dSMC tree nodes).
+
+Capability: the stitching step of reference
+`_primitives/csmc/pit/operator.py:133-149` builds an (N, N) matrix of
+boundary weights w_ij = Gt(x_right_j, x_left_i) + log_w_i + log_w_j with a
+nested vmap over a user callable, materialising P x N^2 floats per tree
+level (32 GB at the BASELINE T=1024, N=4096 config). This module is the
+TPU-native redesign for *factorisable* potentials.
+
+Factorised form
+---------------
+When the boundary potential decomposes over all pairs as
+
+    Gt(x_j, x_i) = row_bias[i] + col_bias[j] + row_feat[i] . col_feat[j]
+
+(exactly the case for Gaussian transition densities — the quadratic
+cross-term is a rank-d matmul — with any previous-state-independent
+observation potential absorbed into col_bias), the stitching draw becomes:
+
+  stage 0  row_lse[i] = logsumexp_j(row_feat[i] . col_feat[j] + col_bias[j])
+           -> Pallas kernel: one MXU matmul per 128-row block, S kept in
+           VMEM, O(N k) HBM traffic instead of O(N^2).
+  stage 1  rows ~ Cat(softmax(row_bias + row_lse)), N iid draws by inverse
+           CDF from hoisted uniforms (XLA; N values per node — tiny).
+  stage 2  col_k ~ Cat(softmax(row_feat[rows_k] . col_feat + col_bias))
+           -> Pallas kernel: recompute the sampled rows' scores blockwise
+           and draw by Gumbel-argmax with the in-kernel PRNG (exact
+           categorical; one pass, no prefix sums).
+
+The two-stage draw factorises the flat N^2 categorical exactly:
+P(i, j) = P(i) P(j | i). Pair 0 is pinned to (0, 0) by the caller for the
+conditional (reference-preserving) version.
+
+All kernels carry a leading `pairs` grid axis so one launch serves every
+node of a tree level (dc_map's vmap contract) without vmap-of-pallas_call.
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_BLOCK = 128
+# Above this N the (ROW_BLOCK, N) score block exceeds the VMEM budget;
+# callers should fall back to the XLA blocked path.
+MAX_FUSED_N = 16384
+
+
+def _row_lse_kernel(rf_ref, cf_ref, cb_ref, out_ref):
+    """lse[i] = logsumexp_j(rf_i . cf_j + cb_j) for one 128-row block."""
+    rf = rf_ref[0]          # (ROW_BLOCK, k)
+    cf = cf_ref[0]          # (N, k)
+    cb = cb_ref[0]          # (1, N)
+    s = jax.lax.dot_general(
+        rf, cf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + cb                  # (ROW_BLOCK, N)
+    m = jnp.max(s, axis=1, keepdims=True)
+    out_ref[0] = (m + jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True)))[:, 0]
+
+
+def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
+    """Batched row-logsumexp of the factorised pairwise scores.
+
+    row_feat (P, N, k); col_feat (P, N, k); col_bias (P, N) -> (P, N).
+    """
+    P, N, k = row_feat.shape
+    rb_blocks = pl.cdiv(N, _ROW_BLOCK)
+    return pl.pallas_call(
+        _row_lse_kernel,
+        grid=(P, rb_blocks),
+        in_specs=[
+            pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, k), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROW_BLOCK), lambda p, r: (p, r),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
+        interpret=interpret,
+    )(row_feat, col_feat, col_bias[:, None, :])
+
+
+def _mix32(h):
+    """murmur3 finalizer round (uint32)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def counter_uniform(seed, pair, block, rows, cols):
+    """Counter-based uniform in (0, 1): a double murmur3-finalizer hash of
+    (seed, pair, block, row, col). Plain integer ops only, so the law is
+    bit-identical on Mosaic hardware, in interpret mode, and in the XLA
+    fallback — unlike `pltpu.prng_random_bits`, which the TPU interpreter
+    stubs out. Quality is ample for Gumbel-argmax draws (distinct counters,
+    two full avalanche rounds)."""
+    seed = seed.astype(jnp.uint32)
+    h = seed * jnp.uint32(0x9E3779B1)
+    h = h ^ (pair.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+    h = h ^ (block.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h = _mix32(h ^ (rows.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+                    + cols.astype(jnp.uint32) * jnp.uint32(0x165667B1)))
+    h = _mix32(h + jnp.uint32(0x9E3779B9))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)) \
+        + jnp.float32(2 ** -25)
+
+
+def _gumbel_argmax_scores(s, seed, pair, block):
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    u = counter_uniform(seed, pair, block, rows, cols)
+    score = s - jnp.log(-jnp.log(u))
+    m = jnp.max(score, axis=1, keepdims=True)
+    n_cols = score.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    return jnp.min(jnp.where(score >= m, col_ids, n_cols), axis=1, keepdims=True)
+
+
+def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
+    """Gumbel-argmax categorical over columns for one 128-row block of
+    sampled rows; counters keyed by (pair, block) keep draws independent."""
+    p = pl.program_id(0)
+    r = pl.program_id(1)
+
+    rf = rf_ref[0]          # (ROW_BLOCK, k)
+    cf = cf_ref[0]          # (N, k)
+    cb = cb_ref[0]          # (1, N)
+    s = jax.lax.dot_general(
+        rf, cf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + cb                  # (ROW_BLOCK, N)
+
+    idx = _gumbel_argmax_scores(s, seed_ref[0], p, r)
+    out_ref[0] = idx[:, 0]
+
+
+def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
+    """Draw one column per sampled row from the exact conditional categorical.
+
+    seed (int32 scalar array); row_feat_sel (P, n, k); col_feat (P, N, k);
+    col_bias (P, N) -> (P, n) int32 column indices.
+    """
+    P, n, k = row_feat_sel.shape
+    N = col_feat.shape[1]
+    rb_blocks = pl.cdiv(n, _ROW_BLOCK)
+    return pl.pallas_call(
+        _col_sample_kernel,
+        grid=(P, rb_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, k), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROW_BLOCK), lambda p, r: (p, r),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, n), jnp.int32),
+        interpret=interpret,
+    )(seed.reshape((1,)), row_feat_sel, col_feat, col_bias[:, None, :])
+
+
+# --------------------------------------------------------------------------
+# XLA fallbacks (CPU tests / N beyond the VMEM budget)
+# --------------------------------------------------------------------------
+
+def row_lse_xla(row_feat, col_feat, col_bias, block=512):
+    """Blocked XLA equivalent of `row_lse` (never materialises P x N^2)."""
+    P, N, k = row_feat.shape
+    nb = -(-N // block)
+    pad = nb * block - N
+    rf = jnp.pad(row_feat, ((0, 0), (0, pad), (0, 0)))
+    rf = rf.reshape(P, nb, block, k).transpose(1, 0, 2, 3)
+
+    def one(rf_blk):
+        s = jnp.einsum("pik,pjk->pij", rf_blk, col_feat) + col_bias[:, None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        return (m + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1, keepdims=True)))[..., 0]
+
+    out = jax.lax.map(one, rf)                       # (nb, P, block)
+    return out.transpose(1, 0, 2).reshape(P, nb * block)[:, :N]
+
+
+def col_sample_xla(seed, row_feat_sel, col_feat, col_bias):
+    """Blocked XLA equivalent of `col_sample` — same counter-based Gumbel
+    draws, so results are bit-identical to the Pallas kernel."""
+    P, n, k = row_feat_sel.shape
+    nb = -(-n // _ROW_BLOCK)
+    pad = nb * _ROW_BLOCK - n
+    rf = jnp.pad(row_feat_sel, ((0, 0), (0, pad), (0, 0)))
+    rf = rf.reshape(P, nb, _ROW_BLOCK, k)
+    pair_ids = jnp.arange(P, dtype=jnp.int32)
+    block_ids = jnp.arange(nb, dtype=jnp.int32)
+
+    def one_block(r, rf_blk):
+        # rf_blk: (P, ROW_BLOCK, k)
+        s = jnp.einsum("pik,pjk->pij", rf_blk, col_feat) + col_bias[:, None, :]
+        idx = jax.vmap(
+            lambda s_p, p: _gumbel_argmax_scores(s_p, seed, p, r)
+        )(s, pair_ids)
+        return idx[..., 0]                           # (P, ROW_BLOCK)
+
+    out = jax.lax.map(lambda args: one_block(args[0], args[1]),
+                      (block_ids, rf.transpose(1, 0, 2, 3)))
+    return out.transpose(1, 0, 2).reshape(P, nb * _ROW_BLOCK)[:, :n].astype(jnp.int32)

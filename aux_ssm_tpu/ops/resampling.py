@@ -35,35 +35,59 @@ def multinomial_from_uniforms(u, weights):
     return idx.at[0].set(0)
 
 
-def systematic(key, weights, N=None):
-    """Conditional systematic resampling (Chopin & Singh 2015, Alg. 4).
+def categorical_from_uniform(u, weights):
+    """One categorical draw by inverse CDF from a precomputed uniform `u`.
+    Robust to slightly-unnormalised weights (inverts u * total_mass)."""
+    cdf = jnp.cumsum(weights)
+    idx = jnp.searchsorted(cdf, u * cdf[-1]).astype(jnp.int32)
+    return jnp.clip(idx, 0, weights.shape[0] - 1)
 
-    Draws the stratified offset conditioned on particle 0 surviving, then
-    randomly rotates the positions mapped to index 0 so that position 0 holds
-    index 0. Weights assumed normalised.
-    """
+
+def systematic_from_uniforms(u, weights, N=None):
+    """Conditional systematic resampling from three precomputed iid uniforms
+    `u` (3,) — same law as `systematic`; lets callers hoist all RNG out of a
+    scan."""
+    return _systematic_core(u[0], u[1], u[2], weights, N)
+
+
+def _systematic_core(u_mix, u_off, u_rot, weights, N=None):
     M = weights.shape[0]
     N = M if N is None else N
 
-    tmp = N * weights[0]
-    tmp_floor = jnp.floor(tmp)
-    U, V, W = jax.random.uniform(key, (3,))
+    copies = N * weights[0]
+    whole = jnp.floor(copies)
+    part = copies - whole
 
-    # Conditional law of the systematic uniform given that index 0 is drawn.
-    rem = tmp - tmp_floor
-    p_cond = rem * (tmp_floor + 1.0) / jnp.maximum(tmp, 1e-30)
-    u_big = jnp.where(V < p_cond, rem * U, rem + (1.0 - rem) * U)
-    uniform = jnp.where(tmp <= 1.0, tmp * U, u_big)
+    pick_low = u_mix * copies < part * (whole + 1.0)
+    offset = jnp.where(pick_low, part * u_off, part + (1.0 - part) * u_off)
 
-    grid = (jnp.arange(N, dtype=weights.dtype) + uniform) / N
-    idx = jnp.searchsorted(jnp.cumsum(weights), grid)
+    positions = (offset + jnp.arange(N, dtype=weights.dtype)) / N
+    idx = jnp.searchsorted(jnp.cumsum(weights), positions).astype(jnp.int32)
 
-    # Rotate a uniformly-chosen occurrence of index 0 into position 0.
-    n_zero = jnp.sum(idx == 0)
-    zero_loc = jnp.flatnonzero(idx == 0, size=N, fill_value=-1)
-    roll_idx = jnp.floor(n_zero * W).astype(int)
-    idx = jnp.where(n_zero == 1, idx, jnp.roll(idx, -zero_loc[roll_idx]))
-    return jnp.clip(idx, 0, M - 1)
+    n0 = jnp.sum(idx == 0)
+    chosen = jnp.floor(n0 * u_rot).astype(jnp.int32)
+    return jnp.clip(jnp.roll(idx, -chosen), 0, M - 1)
+
+
+def systematic(key, weights, N=None):
+    """Conditional systematic resampling (law of Chopin & Singh 2015, Alg. 4).
+
+    Derivation: under plain systematic resampling with offset
+    ``o ~ Uniform(0, 1)``, particle 0 receives ``ceil(c - o)`` copies, where
+    ``c = N * w_0``, and — because the output of systematic resampling is
+    nondecreasing — those copies always occupy the *leading* slots.
+    Conditioning on at least one copy tilts the offset density to
+    ``f(o) ∝ ceil(c - o)``: a two-component mixture of ``Uniform(0, frac(c))``
+    (probability ``frac(c)·(floor(c)+1)/c``) and ``Uniform(frac(c), 1)``.
+    (The ``c < 1`` case collapses into the first component, whose probability
+    is then exactly 1 — no special case needed.) A uniformly chosen copy is
+    then rotated into slot 0. Weights assumed normalised.
+    """
+    key_mix, key_off, key_rot = jax.random.split(key, 3)
+    return _systematic_core(
+        jax.random.uniform(key_mix), jax.random.uniform(key_off),
+        jax.random.uniform(key_rot), weights, N,
+    )
 
 
 def get(name):

@@ -7,7 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.stats import norm
 
-from aux_ssm_tpu.kernels.csmc_base import Distribution, UnivariatePotential, Dynamics, Potential
+from aux_ssm_tpu.kernels.csmc_base import (
+    Distribution, UnivariatePotential, Dynamics, Potential,
+    diag_gaussian_pair_factors,
+)
 
 
 @chex.dataclass
@@ -43,12 +46,20 @@ class ARDynamics(Dynamics):
     """x_{t+1} = phi * x_t + sig * eps; params = (phi_t, sig_t) per step."""
 
     def sample(self, key, x_t, params):
+        return self.sample_from_noise(
+            jax.random.normal(key, x_t.shape, dtype=x_t.dtype), x_t, params)
+
+    def sample_from_noise(self, eps, x_t, params):
         phi, sig = params
-        return phi * x_t + sig * jax.random.normal(key, x_t.shape, dtype=x_t.dtype)
+        return phi * x_t + sig * eps
 
     def logpdf(self, x_t_p_1, x_t, params):
         phi, sig = params
         return jnp.sum(norm.logpdf(x_t_p_1, phi * x_t, sig), axis=-1)
+
+    def logpdf_factors(self, x_prev, x_next, params):
+        phi, sig = params
+        return diag_gaussian_pair_factors(phi * x_prev, x_next, sig)
 
 
 @chex.dataclass

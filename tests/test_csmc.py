@@ -91,3 +91,30 @@ def test_backward_requires_logpdf():
     M0, G0, Mt, Gt, _ = _model(flat=True)
     with pytest.raises(ValueError):
         get_kernel(M0, G0, Mt, FlatGt(), N_PART, backward=True, Pt=FlatGt())
+
+
+def test_backward_scanning_matches_sequential_trace():
+    """The O(log T)-depth pointer-doubling genealogy trace must agree
+    index-for-index with a sequential Python pointer chase."""
+    from aux_ssm_tpu.kernels.csmc import backward_scanning_pass
+
+    rng = np.random.default_rng(3)
+    T_, N_, d_ = 9, 6, 2
+    ancestors = jnp.asarray(rng.integers(0, N_, (T_ - 1, N_)), dtype=jnp.int32)
+    xs = jnp.asarray(rng.standard_normal((T_, N_, d_)))
+    w_T = jnp.asarray(np.full(N_, 1.0 / N_))
+
+    for s in range(5):
+        key = jax.random.key(s)
+        B_T = int(jax.random.choice(key, N_, p=w_T))
+        picked_ref = [B_T]
+        for t in range(T_ - 2, -1, -1):
+            picked_ref.append(int(ancestors[t, picked_ref[-1]]))
+        picked_ref = picked_ref[::-1]
+
+        traj, picked = backward_scanning_pass(key, w_T, xs, ancestors)
+        np.testing.assert_array_equal(np.asarray(picked), picked_ref)
+        np.testing.assert_allclose(
+            np.asarray(traj),
+            np.stack([np.asarray(xs[t, picked_ref[t]]) for t in range(T_)]),
+        )

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from aux_ssm_tpu.kernels.pit import dc_map, get_kernel
-from aux_ssm_tpu.kernels.csmc_independent import AuxiliaryMtDistribution
+from aux_ssm_tpu.kernels.csmc_independent import DiagonalGaussian
 
 from csmc_common import GaussianM0, GaussianObsGt, ar1_lgssm_arrays
 from oracles import explicit_filter, explicit_smoother
@@ -57,11 +57,14 @@ N_PART = 64
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("with_qt", [False, True])
-def test_pit_csmc_invariance(with_qt):
+@pytest.mark.parametrize("with_qt,fused", [(False, False), (True, False),
+                                           (False, True), (True, True)])
+def test_pit_csmc_invariance(with_qt, fused):
     """PIT-cSMC with independent N(u_t, delta/2) proposals must keep the
     auxiliary target invariant; we check the full auxiliary Gibbs chain
-    (u-refresh + PIT kernel) recovers the LGSSM smoothing posterior."""
+    (u-refresh + PIT kernel) recovers the LGSSM smoothing posterior.
+    `fused=True` marks the observation potential previous-state-independent,
+    which routes stitching through the factorised (matmul) operator."""
     rng = np.random.default_rng(0)
     ys = rng.standard_normal((T, D)) * 0.5
     delta = 0.8
@@ -82,6 +85,8 @@ def test_pit_csmc_invariance(with_qt):
 
     @chex.dataclass
     class ObsGt(Potential):
+        prev_dependent = not fused
+
         def __call__(self, x_next, x_t, y):
             return jnp.sum(norm.logpdf(y, x_next, SIG_Y), axis=-1)
 
@@ -119,7 +124,7 @@ def test_pit_kernel_runs_non_pow2():
     T_odd = 5
     u = jnp.asarray(np.random.default_rng(1).standard_normal((T_odd, D)))
     scale = jnp.full((T_odd,), 0.6)
-    Mt = AuxiliaryMtDistribution(params=(u, scale, None))
+    Mt = DiagonalGaussian(loc=u, scale=scale)
 
     import chex
     from aux_ssm_tpu.kernels.csmc_base import UnivariatePotential, Potential

@@ -47,36 +47,70 @@ def test_systematic_count_property():
 
 
 def test_systematic_oracle():
-    """Index-for-index check against a NumPy transcription of Chopin & Singh
-    Algorithm 4 (oracle style as reference test_resamplings.py:47-78)."""
+    """Index-for-index check against a NumPy transcription of the conditional
+    offset law f(o) ∝ ceil(N*w0 - o) followed by rotation of a uniformly
+    chosen copy of particle 0 into slot 0 (Chopin & Singh 2015, Alg. 4)."""
     rng = np.random.default_rng(5)
     N = 10
     w = _weights(rng, N)
 
     for s in range(20):
         key = jax.random.key(s)
-        U, V, W = np.asarray(jax.random.uniform(key, (3,)))
+        k_mix, k_off, k_rot = jax.random.split(key, 3)
+        u_mix = float(jax.random.uniform(k_mix))
+        u_off = float(jax.random.uniform(k_off))
+        u_rot = float(jax.random.uniform(k_rot))
 
-        tmp = N * w[0]
-        tmp_floor = np.floor(tmp)
-        if tmp <= 1:
-            u = tmp * U
+        c = N * w[0]
+        frac = c - np.floor(c)
+        if u_mix * c < frac * (np.floor(c) + 1.0):
+            o = frac * u_off
         else:
-            rem = tmp - tmp_floor
-            p_cond = rem * (tmp_floor + 1) / tmp
-            u = rem * U if V < p_cond else rem + (1 - rem) * U
+            o = frac + (1.0 - frac) * u_off
 
-        lin = (np.arange(N) + u) / N
-        idx = np.searchsorted(np.cumsum(w), lin)
-        n_zero = (idx == 0).sum()
-        zero_loc = np.flatnonzero(idx == 0)
-        if n_zero != 1:
-            roll = int(np.floor(n_zero * W))
-            idx = np.roll(idx, -zero_loc[roll])
+        idx = np.searchsorted(np.cumsum(w), (np.arange(N) + o) / N)
+        n0 = int((idx == 0).sum())
+        idx = np.roll(idx, -int(np.floor(n0 * u_rot)))
         idx = np.clip(idx, 0, N - 1)
 
         got = systematic(key, jnp.asarray(w))
         np.testing.assert_array_equal(np.asarray(got), idx)
+
+
+def test_systematic_conditional_law():
+    """Distribution-level check: the conditional scheme must match the law of
+    plain systematic resampling conditioned on a *uniformly chosen slot*
+    holding particle 0 (size-biased by the copy count — that is what tilts
+    the offset density to ∝ ceil(N w0 − o)), with that slot rotated to the
+    front. Obtained here by NumPy rejection sampling."""
+    rng = np.random.default_rng(7)
+    N = 8
+    w = _weights(rng, N)
+    cum = np.cumsum(w)
+
+    n_trials = 6_000
+    ref_counts = np.zeros((N, N))  # slot x index frequencies
+    got_trials = 0
+    while got_trials < n_trials:
+        o = rng.uniform()
+        idx = np.searchsorted(cum, (np.arange(N) + o) / N)
+        slot = rng.integers(N)
+        if idx[slot] != 0:
+            continue
+        idx = np.roll(idx, -slot)
+        idx = np.clip(idx, 0, N - 1)
+        ref_counts[np.arange(N), idx] += 1
+        got_trials += 1
+
+    keys = jax.random.split(jax.random.key(11), n_trials)
+    got = np.asarray(jax.vmap(lambda k: systematic(k, jnp.asarray(w)))(keys))
+    got_counts = np.zeros((N, N))
+    for slot in range(N):
+        got_counts[slot] = np.bincount(got[:, slot], minlength=N)
+
+    np.testing.assert_allclose(
+        got_counts / n_trials, ref_counts / n_trials, atol=0.03
+    )
 
 
 def test_get_lookup():

@@ -1,0 +1,224 @@
+"""Unit tests for the fused (factorised) PIT stitching path.
+
+Covers, bottom-up:
+- pair-factorisation helpers reproduce the dense pairwise Gaussian logpdf
+  matrix exactly (diagonal and full-covariance forms);
+- `row_lse_xla` and the Pallas `row_lse` (interpret mode) match a dense
+  logsumexp;
+- `col_sample_xla` and the Pallas `col_sample` (interpret mode) are
+  bit-identical, and the draws follow the exact conditional categorical law;
+- the fused stitching operator's pair law matches the dense N^2 softmax
+  (empirical frequencies over many seeds vs exact joint probabilities).
+"""
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aux_ssm_tpu.kernels.csmc_base import (
+    diag_gaussian_pair_factors, chol_gaussian_pair_factors,
+)
+from aux_ssm_tpu.ops.pallas import stitching as st
+
+
+def _dense_scores(rf, cf, cb):
+    return rf @ cf.T + cb[None, :]
+
+
+def test_diag_pair_factors_match_dense():
+    rng = np.random.default_rng(0)
+    N, d = 7, 3
+    mean_prev = jnp.asarray(rng.standard_normal((N, d)))
+    x_next = jnp.asarray(rng.standard_normal((N, d)))
+    sig = jnp.asarray(rng.uniform(0.5, 1.5, d))
+
+    rf, cf, rb, cb = diag_gaussian_pair_factors(mean_prev, x_next, sig)
+    got = rb[:, None] + cb[None, :] + rf @ cf.T
+
+    from jax.scipy.stats import norm
+    want = jax.vmap(
+        jax.vmap(lambda m, x: jnp.sum(norm.logpdf(x, m, sig)), in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(mean_prev, x_next)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
+
+
+def test_chol_pair_factors_match_dense():
+    rng = np.random.default_rng(1)
+    N, d = 6, 3
+    mean_prev = jnp.asarray(rng.standard_normal((N, d)))
+    x_next = jnp.asarray(rng.standard_normal((N, d)))
+    A = rng.standard_normal((d, d))
+    chol = jnp.asarray(np.linalg.cholesky(A @ A.T + d * np.eye(d)))
+
+    rf, cf, rb, cb = chol_gaussian_pair_factors(mean_prev, x_next, chol)
+    got = rb[:, None] + cb[None, :] + rf @ cf.T
+
+    from aux_ssm_tpu.ops import mvn
+    want = jax.vmap(
+        jax.vmap(lambda m, x: mvn.logpdf(x, m, chol), in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(mean_prev, x_next)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+
+
+@pytest.mark.parametrize("N", [5, 130, 256])
+def test_row_lse_xla_matches_dense(N):
+    rng = np.random.default_rng(2)
+    P, k = 3, 4
+    rf = jnp.asarray(rng.standard_normal((P, N, k)))
+    cf = jnp.asarray(rng.standard_normal((P, N, k)))
+    cb = jnp.asarray(rng.standard_normal((P, N)))
+
+    want = np.stack([
+        np.asarray(jax.scipy.special.logsumexp(_dense_scores(rf[p], cf[p], cb[p]), axis=1))
+        for p in range(P)
+    ])
+    got = st.row_lse_xla(rf, cf, cb, block=64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10)
+
+
+def test_row_lse_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(3)
+    P, N, k = 2, 256, 4
+    rf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), dtype=jnp.float32)
+
+    got = st.row_lse(rf, cf, cb, interpret=True)
+    want = st.row_lse_xla(rf, cf, cb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_col_sample_pallas_interpret_bitwise_matches_xla():
+    rng = np.random.default_rng(4)
+    P, n, N, k = 2, 128, 256, 3
+    rf = jnp.asarray(rng.standard_normal((P, n, k)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), dtype=jnp.float32)
+    seed = jnp.asarray(1234, dtype=jnp.int32)
+
+    got = st.col_sample(seed, rf, cf, cb, interpret=True)
+    want = st.col_sample_xla(seed, rf, cf, cb)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_col_sample_law():
+    """Empirical frequencies of the Gumbel-argmax column draws must match the
+    exact conditional categorical softmax(rf_i . cf + cb)."""
+    rng = np.random.default_rng(5)
+    N, k = 8, 2
+    n_seeds = 4000
+    rf = jnp.asarray(rng.standard_normal((1, 1, k)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((1, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((1, N)), dtype=jnp.float32)
+
+    s = _dense_scores(np.asarray(rf[0]), np.asarray(cf[0]), np.asarray(cb[0]))[0]
+    p = np.exp(s - s.max())
+    p /= p.sum()
+
+    draw = jax.jit(lambda sd: st.col_sample_xla(sd, rf, cf, cb)[0, 0])
+    seeds = jnp.arange(n_seeds, dtype=jnp.int32)
+    idx = np.asarray(jax.vmap(draw)(seeds))
+    freq = np.bincount(idx, minlength=N) / n_seeds
+    # 4000 draws: MC-SE of each frequency <= 0.5/sqrt(4000) ~ 0.008.
+    np.testing.assert_allclose(freq, p, atol=4 * 0.008)
+
+
+def test_fused_operator_law_matches_dense_joint():
+    """The fused two-stage draw over one tree node must follow the exact flat
+    N^2 softmax of w_ij = rb_i + cb_j + rf_i . cf_j (for non-pinned slots)."""
+    from aux_ssm_tpu.kernels.pit import fused_stitching_operator
+    from aux_ssm_tpu.kernels.csmc_base import Potential
+
+    rng = np.random.default_rng(6)
+    N, d, block = 4, 1, 1
+    sig = 0.9
+    phi = 0.7
+
+    @chex.dataclass
+    class PairGt(Potential):
+        prev_dependent = False
+        supports_pairwise_factors = True
+
+        def __call__(self, x_next, x_t, params):
+            from jax.scipy.stats import norm
+            return jnp.sum(norm.logpdf(x_next, phi * x_t, sig), -1)
+
+        def pairwise_factors(self, x_left, x_right, params):
+            return diag_gaussian_pair_factors(phi * x_left, x_right, sig)
+
+    xl = jnp.asarray(rng.standard_normal((1, block, N, d)))
+    xr = jnp.asarray(rng.standard_normal((1, block, N, d)))
+    lw_a = jnp.asarray(np.log(rng.uniform(0.5, 1.0, (1, block, N))))
+    lw_b = jnp.asarray(np.log(rng.uniform(0.5, 1.0, (1, block, N))))
+    orig = jnp.tile(jnp.arange(N), (1, block, 1))
+    params = jnp.zeros((1, block))
+
+    # Exact joint law.
+    rf, cf, rb, cb = diag_gaussian_pair_factors(
+        phi * xl[0, -1], xr[0, 0], sig)
+    logw = (rb + np.asarray(lw_a[0, -1]))[:, None] \
+        + (cb + np.asarray(lw_b[0, 0]))[None, :] + np.asarray(rf @ cf.T)
+    pj = np.exp(logw - logw.max())
+    pj /= pj.sum()
+
+    gt = PairGt(params=None)
+
+    counts = np.zeros((N, N))
+    n_seeds = 3000
+    def draw(seed):
+        keys_a = jax.random.split(jax.random.key(seed), block)[None]
+        keys_b = jax.random.split(jax.random.key(seed + 10 ** 6), block)[None]
+        ia = ((xl, lw_a, orig), keys_a, params)
+        ib = ((xr, lw_b, orig), keys_b, params)
+        (traj, _, origins), _, _ = fused_stitching_operator(
+            ia, ib, gt, N, False, False)
+        # slot 1..N-1 are iid joint draws; read back the chosen indices from
+        # the origins bookkeeping.
+        return origins[0, 0], origins[0, 1]
+
+    draw_j = jax.jit(draw)
+    for seed in range(n_seeds):
+        li, ri = draw_j(seed)
+        li, ri = np.asarray(li), np.asarray(ri)
+        counts[li[1], ri[1]] += 1.0  # slot 1: first unpinned iid pair
+
+    freq = counts / n_seeds
+    np.testing.assert_allclose(freq, pj, atol=5 * 0.5 / np.sqrt(n_seeds))
+
+
+def test_fused_operator_pins_reference_pair():
+    """Slot 0 must always select pair (0, 0) — the conditional property that
+    keeps the reference trajectory alive."""
+    from aux_ssm_tpu.kernels.pit import fused_stitching_operator
+    from aux_ssm_tpu.kernels.csmc_base import Potential
+
+    rng = np.random.default_rng(7)
+    N, d, block = 6, 2, 2
+
+    @chex.dataclass
+    class PairGt(Potential):
+        prev_dependent = False
+        supports_pairwise_factors = True
+
+        def pairwise_factors(self, x_left, x_right, params):
+            return diag_gaussian_pair_factors(x_left, x_right, 1.0)
+
+    xl = jnp.asarray(rng.standard_normal((1, block, N, d)))
+    xr = jnp.asarray(rng.standard_normal((1, block, N, d)))
+    lw = jnp.full((1, block, N), -np.log(N))
+    orig = jnp.tile(jnp.arange(N), (1, block, 1))
+    params = jnp.zeros((1, block))
+    gt = PairGt(params=None)
+
+    for seed in range(10):
+        keys_a = jax.random.split(jax.random.key(seed), block)[None]
+        keys_b = jax.random.split(jax.random.key(seed + 99), block)[None]
+        ia = ((xl, lw, orig), keys_a, params)
+        ib = ((xr, lw, orig), keys_b, params)
+        (_, _, origins), _, _ = fused_stitching_operator(
+            ia, ib, gt, N, False, False)
+        assert int(origins[0, 0, 0]) == 0 and int(origins[0, block, 0]) == 0
