@@ -31,7 +31,35 @@ def base_parser(description):
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--verbose", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--out", type=str, default=None, help="output .npz path")
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="persist/resume chain state under this directory")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint period in iterations (0 = phase ends only)")
+    p.add_argument("--n-chains", type=int, default=1,
+                   help="independent chains, sharded over the mesh 'chains' axis")
     return p
+
+
+def experiment_config(args, **overrides):
+    """Build the typed `ExperimentConfig` from parsed CLI args — the single
+    source of truth the drivers consume (config.py and this module are two
+    views of the same axes)."""
+    from ..config import ExperimentConfig, BackendConfig, SamplerConfig
+    kw = dict(
+        backend=BackendConfig(precision=args.precision, platform=args.platform,
+                              debug=args.debug, debug_nans=args.debug_nans),
+        sampler=SamplerConfig(style=args.style, parallel=args.parallel,
+                              gradient=args.gradient, backward=args.backward,
+                              n_particles=args.n_particles,
+                              resampling=args.resampling),
+        run=run_config(args),
+        seed=args.seed,
+        n_chains=getattr(args, "n_chains", 1),
+        checkpoint_dir=getattr(args, "checkpoint_dir", None),
+        checkpoint_every=getattr(args, "checkpoint_every", 0),
+    )
+    kw.update(overrides)
+    return ExperimentConfig(**kw)
 
 
 def apply_backend(args):

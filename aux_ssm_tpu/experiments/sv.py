@@ -36,7 +36,8 @@ def main(argv=None):
     p.add_argument("--T", type=int, default=250)
     p.add_argument("--D", type=int, default=30)
     args = p.parse_args(argv)
-    cli.apply_backend(args)
+    cfg_x = cli.experiment_config(args)
+    cfg_x.backend.apply()
 
     key = jax.random.key(args.seed)
     data_key, init_key, run_key = jax.random.split(key, 3)
@@ -48,9 +49,11 @@ def main(argv=None):
 
     is_csmc = args.style.startswith("csmc")
     delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)
-    cfg = cli.run_config(args)
+    cfg = cfg_x.run
     res = run_chain(run_key, kernel, state, cfg, collect_samples=True,
-                    delta_init=delta0)
+                    delta_init=delta0,
+                    checkpoint_dir=cfg_x.checkpoint_dir,
+                    checkpoint_every=cfg_x.checkpoint_every)
     samples = np.asarray(res.samples)
 
     ess = ess_summary(samples)

@@ -17,8 +17,25 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import CHAINS
-from ..experiments.runner import RunConfig, _phase, _phase_collect
+from ..experiments.runner import RunConfig, _phase_segment
 from ..utils.stats import init_stats
+
+
+def _whole_phase(kernel, n_iter, adapt, collect, cfg, get_stats_x):
+    """One full (unsegmented) phase as a vmappable function of
+    (key, state, delta)."""
+    seg = _phase_segment(kernel, n_iter, adapt, collect, cfg, get_stats_x,
+                         n_iter)
+
+    def fn(key, state, delta):
+        stats = init_stats(get_stats_x(state),
+                           accept_shape=jnp.shape(state.updated))
+        state, delta, stats, xs = seg(key, state, delta, stats, jnp.int32(0))
+        if collect:
+            return state, delta, stats, xs
+        return state, delta, stats
+
+    return fn
 
 
 def shard_chains(mesh, tree):
@@ -57,14 +74,17 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
         burn_keys = shard_chains(mesh, burn_keys)
         sample_keys = shard_chains(mesh, sample_keys)
 
-    burn = jax.jit(jax.vmap(_phase(kernel, max(cfg.burnin, 1), True, cfg, get_stats_x)))
+    burn = jax.jit(jax.vmap(
+        _whole_phase(kernel, max(cfg.burnin, 1), True, False, cfg, get_stats_x)))
     states, deltas, _ = burn(burn_keys, init_states, deltas)
 
     if collect_samples:
-        sample = jax.jit(jax.vmap(_phase_collect(kernel, cfg.n_samples, cfg, get_stats_x)))
+        sample = jax.jit(jax.vmap(
+            _whole_phase(kernel, cfg.n_samples, False, True, cfg, get_stats_x)))
         states, deltas, stats, samples = sample(sample_keys, states, deltas)
     else:
-        sample = jax.jit(jax.vmap(_phase(kernel, cfg.n_samples, False, cfg, get_stats_x)))
+        sample = jax.jit(jax.vmap(
+            _whole_phase(kernel, cfg.n_samples, False, False, cfg, get_stats_x)))
         states, deltas, stats = sample(sample_keys, states, deltas)
         samples = None
     return states, stats, deltas, samples

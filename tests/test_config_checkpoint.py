@@ -63,3 +63,124 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_restore_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / "nope"))
+
+
+def _toy_kernel_and_state():
+    """Random-walk MH on N(0, 1) — cheap, accept/reject so adaptation runs."""
+    import chex
+    from aux_ssm_tpu.kernels.base import SamplerState
+
+    @chex.dataclass
+    class S(SamplerState):
+        updated: chex.Array
+
+    def kernel(key, state, delta):
+        k1, k2 = jax.random.split(key)
+        prop = state.x + jnp.sqrt(delta) * jax.random.normal(k1, state.x.shape)
+        log_a = 0.5 * jnp.sum(state.x ** 2 - prop ** 2)
+        acc = jnp.log(jax.random.uniform(k2)) < log_a
+        return S(x=jnp.where(acc, prop, state.x), updated=acc)
+
+    return kernel, S(x=jnp.zeros((4,)), updated=jnp.asarray(False))
+
+
+def test_run_chain_segmented_matches_monolithic(tmp_path):
+    """checkpoint_every segmentation must not change the chain at all."""
+    from aux_ssm_tpu.experiments.runner import RunConfig, run_chain
+
+    kernel, state = _toy_kernel_and_state()
+    cfg = RunConfig(n_samples=40, burnin=17, delta_init=0.5, verbose=False)
+    key = jax.random.key(0)
+
+    mono = run_chain(key, kernel, state, cfg, collect_samples=True)
+    seg = run_chain(key, kernel, state, cfg, collect_samples=True,
+                    checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=7)
+
+    np.testing.assert_array_equal(np.asarray(mono.samples), np.asarray(seg.samples))
+    np.testing.assert_array_equal(np.asarray(mono.state.x), np.asarray(seg.state.x))
+    np.testing.assert_allclose(np.asarray(mono.delta), np.asarray(seg.delta))
+
+
+def test_run_chain_kill_resume_bitwise(tmp_path):
+    """A run killed mid-burnin and mid-sampling must resume bitwise."""
+    from aux_ssm_tpu.experiments.runner import RunConfig, run_chain
+    from aux_ssm_tpu.utils.checkpoint import latest_step
+
+    kernel, state = _toy_kernel_and_state()
+    cfg = RunConfig(n_samples=30, burnin=20, delta_init=0.5, verbose=False)
+    key = jax.random.key(1)
+    full = run_chain(key, kernel, state, cfg, collect_samples=True)
+
+    d = str(tmp_path / "ck2")
+
+    # "Kill" after the first burn-in segment: run with a monkeypatched _save
+    # that raises after 1 checkpoint, then resume from what was persisted.
+    import aux_ssm_tpu.experiments.runner as runner_mod
+
+    class Killed(RuntimeError):
+        pass
+
+    orig_save = runner_mod._save
+    calls = {"n": 0}
+
+    def dying_save(directory, payload, step):
+        orig_save(directory, payload, step)
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise Killed()
+
+    runner_mod._save = dying_save
+    try:
+        with pytest.raises(Killed):
+            run_chain(key, kernel, state, cfg, collect_samples=True,
+                      checkpoint_dir=d, checkpoint_every=8)
+    finally:
+        runner_mod._save = orig_save
+    assert latest_step(d) is not None
+
+    resumed = run_chain(key, kernel, state, cfg, collect_samples=True,
+                        checkpoint_dir=d, checkpoint_every=8)
+    np.testing.assert_array_equal(np.asarray(full.samples),
+                                  np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.state.x),
+                                  np.asarray(resumed.state.x))
+    np.testing.assert_allclose(np.asarray(full.delta), np.asarray(resumed.delta))
+
+
+def test_run_chain_kill_resume_mid_sampling(tmp_path):
+    """Kill during the sampling phase; collected samples must be complete."""
+    from aux_ssm_tpu.experiments.runner import RunConfig, run_chain
+
+    kernel, state = _toy_kernel_and_state()
+    cfg = RunConfig(n_samples=24, burnin=5, delta_init=0.5, verbose=False)
+    key = jax.random.key(2)
+    full = run_chain(key, kernel, state, cfg, collect_samples=True)
+
+    d = str(tmp_path / "ck3")
+    import aux_ssm_tpu.experiments.runner as runner_mod
+
+    class Killed(RuntimeError):
+        pass
+
+    orig_save = runner_mod._save
+    calls = {"n": 0}
+
+    def dying_save(directory, payload, step):
+        orig_save(directory, payload, step)
+        calls["n"] += 1
+        if calls["n"] >= 3:  # burnin ckpt + 2 sampling segments
+            raise Killed()
+
+    runner_mod._save = dying_save
+    try:
+        with pytest.raises(Killed):
+            run_chain(key, kernel, state, cfg, collect_samples=True,
+                      checkpoint_dir=d, checkpoint_every=8)
+    finally:
+        runner_mod._save = orig_save
+
+    resumed = run_chain(key, kernel, state, cfg, collect_samples=True,
+                        checkpoint_dir=d, checkpoint_every=8)
+    assert resumed.samples.shape[0] == cfg.n_samples
+    np.testing.assert_array_equal(np.asarray(full.samples),
+                                  np.asarray(resumed.samples))
