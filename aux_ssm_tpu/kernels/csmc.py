@@ -59,7 +59,12 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
             ancestor_Pt=Pt if ancestor_sampling else None,
         )
         if backward:
-            x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
+            bwd_mode = _use_fused_backward(Pt)
+            if bwd_mode:
+                x, picked = _fused_backward_pass(key_bwd, Pt, w_T, xs, log_ws,
+                                                 on_tpu=bwd_mode == "pallas")
+            else:
+                x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
         else:
             x, picked = backward_scanning_pass(key_bwd, w_T, xs, ancestors)
         return CSMCState(x=x, updated=picked != 0)
@@ -69,6 +74,67 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
         return CSMCState(x=x_star, updated=jnp.zeros((T,), dtype=bool))
 
     return init, kernel
+
+
+def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt):
+    """The fused Pallas forward sweep applies when proposals are independent
+    of the previous state (particle values are then resampling-invariant)
+    and the step weight pair-factorises; PGAS additionally requires the
+    ancestor transition to be the weight's own transition (so the reference
+    scores come from the same factor tensors)."""
+    import os
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")  # '0' | 'xla' | auto
+    if flag == "0" or force == "0" or constrain is not None:
+        return None
+    if not (getattr(Mt, "independent", False)
+            and getattr(Gt, "supports_pairwise_factors", False)
+            and resample is resampling_mod.multinomial):
+        return None
+    if ancestor_Pt is not None and ancestor_Pt is not getattr(Gt, "trans", None):
+        return None
+    if force == "xla":
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return None
+    return "pallas" if platform in ("tpu", "axon") else None
+
+
+def _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
+                        on_tpu=True):
+    """Precompute proposals + pair-factor tensors, then run the sequential
+    index/weight recursion in one Pallas launch (`ops/pallas/csmc_fwd.py`).
+    Same key stream and law as the generic scan."""
+    from ..ops.pallas import csmc_fwd
+
+    T = x_star.shape[0]
+    key_init, key_res, key_prop, key_anc = jax.random.split(key, 4)
+
+    x0 = M0.sample(key_init, N)
+    x0 = x0.at[0].set(x_star[0])
+    log_w0 = G0(x0)
+    w0 = normalize(log_w0)
+
+    res_u = jax.random.uniform(key_res, (T - 1, N), dtype=x0.dtype)
+    eps = jax.random.normal(key_prop, (T - 1,) + x0.shape, dtype=x0.dtype)
+    anc_u = jax.random.uniform(key_anc, (T - 1,), dtype=x0.dtype)
+
+    # Independent proposals: values never depend on the previous state.
+    xs_rest = jax.vmap(lambda e, p: Mt.sample_from_noise(e, e, p))(eps, Mt.params)
+    xs_rest = xs_rest.at[:, 0].set(x_star[1:])
+    xs = jnp.concatenate([x0[None], xs_rest], axis=0)
+
+    rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xs[:-1], xs[1:], Gt.params)
+
+    run = csmc_fwd.fused_forward_scan if on_tpu else csmc_fwd.factor_scan_xla
+    log_ws_rest, ancestors = run(rf, cf, rb, cb, res_u, anc_u, w0,
+                                 pgas=ancestor_Pt is not None)
+
+    log_ws = jnp.concatenate([log_w0[None], log_ws_rest], axis=0)
+    w_T = normalize(log_ws_rest[-1])
+    return w_T, xs, log_ws, ancestors
 
 
 def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
@@ -97,6 +163,11 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
         ``Mt.sample`` when absent);
       * PGAS ancestor draws: (T-1,) uniforms -> inverse CDF.
     """
+    fused_mode = _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt)
+    if fused_mode:
+        return _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
+                                   on_tpu=fused_mode == "pallas")
+
     if constrain is None:
         constrain = lambda z: z
     T = x_star.shape[0]
@@ -184,6 +255,43 @@ def backward_scanning_pass(key, w_T, xs, ancestors):
     traj = jnp.take_along_axis(
         xs, picked[:, None, None], axis=1
     )[:, 0]
+    return traj, picked
+
+
+def _use_fused_backward(Pt):
+    """Fused Whiteley backward sampling needs pair-factorisable true-model
+    dynamics; same env gating as the forward ('0' off, 'xla' force algebra)."""
+    import os
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")
+    if flag == "0" or force == "0" or not hasattr(Pt, "logpdf_factors"):
+        return None
+    if force == "xla":
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return None
+    return "pallas" if platform in ("tpu", "axon") else None
+
+
+def _fused_backward_pass(key, Pt, w_T, xs, log_ws, on_tpu=True):
+    """Whiteley backward sampling through precomputed pair factors
+    (`ops/pallas/csmc_fwd.fused_backward_scan`); same key stream and law as
+    `backward_sampling_pass`."""
+    from ..ops.pallas import csmc_fwd
+
+    T = xs.shape[0]
+    us = jax.random.uniform(key, (T,), dtype=log_ws.dtype)
+    B_T = resampling_mod.categorical_from_uniform(us[-1], w_T)
+
+    rfP, cfP, rbP, _ = jax.vmap(Pt.logpdf_factors)(xs[:-1], xs[1:], Pt.params)
+    run = (csmc_fwd.fused_backward_scan if on_tpu
+           else csmc_fwd.backward_factor_scan_xla)
+    picked_rest = run(rfP, cfP, rbP, log_ws[:-1], us[:-1], B_T)
+
+    picked = jnp.concatenate([picked_rest, B_T[None]], axis=0)
+    traj = jnp.take_along_axis(xs, picked[:, None, None], axis=1)[:, 0]
     return traj, picked
 
 

@@ -173,7 +173,13 @@ class DiagonalGaussian(Distribution):
 @chex.dataclass
 class IndependentDynamics(Dynamics):
     """Time-indexed independent Gaussian proposals behind the Dynamics
-    interface (the previous state is ignored); params = (loc_t, scale_t)."""
+    interface (the previous state is ignored); params = (loc_t, scale_t).
+
+    `independent = True` advertises the x_prev-independence that lets the
+    cSMC forward pass run as the fused index/weight recursion
+    (`ops/pallas/csmc_fwd.py`): particle values are then invariant to
+    resampling, so the whole sweep needs no model evaluation in the loop."""
+    independent = True
 
     def sample(self, key, x_t, params):
         return self.sample_from_noise(

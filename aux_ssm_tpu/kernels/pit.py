@@ -29,6 +29,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import logsumexp
 
 from .csmc_base import CSMCState, Distribution, UnivariatePotential, Potential
@@ -292,6 +293,24 @@ def get_kernel(Mt: Distribution, G0: UnivariatePotential, Gt: Potential, N: int,
 
 
 def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
+    """Index-composition PIT engine.
+
+    TPU-native redesign of the dSMC tree (reference `pit/dc_map.py:37-123` +
+    `pit/operator.py:38-149`, and of the round-1 tree that carried gathered
+    trajectory/origin/key/param blocks through every level): trajectories are
+    proposed once and NEVER gathered during the tree. Each level only
+
+      1. resolves the node-boundary particle orderings by composing the
+         earlier levels' selection maps (O(N) ints per boundary row),
+      2. computes the N^2 boundary weights on those two rows (fused
+         factorised matmul or generic nested-vmap), and
+      3. records the drawn index pairs (L_k, R_k).
+
+    The single output genealogy is resolved at the end by one O(T log T)
+    top-down pass through the recorded selections, followed by one gather of
+    the final trajectory. This removes the O(T N d log T) gather/concat
+    traffic that dominated the tree implementation at large N.
+    """
     T = x_star.shape[0]
     sample_key, resample_key = jax.random.split(key)
     sample_keys = jax.random.split(sample_key, T)
@@ -310,28 +329,164 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
     log_wts = log_wts.at[0].add(G0(xs[0]))
     log_wts -= logsumexp(log_wts, axis=1, keepdims=True)
 
-    origins = jnp.tile(jnp.arange(N), (T, 1))
+    if T == 1:
+        u = jax.random.uniform(resample_keys[0])
+        j = _rows_from_uniforms(log_wts[0], u[None])[0]
+        return xs[:, j], j[None]
 
     # Shift Gt params one step right: params[t] weighs the (t-1, t) boundary.
     params = Gt.params
     fake = jax.tree.map(lambda z: jnp.full_like(z[:1], jnp.nan), params)
     params = jax.tree.map(lambda f, z: jnp.concatenate([f, z], axis=0), fake, params)
 
+    fused = getattr(Gt, "supports_pairwise_factors", False)
+    use_pallas = _fused_use_pallas(N) if fused else False
+
+    pow2 = _next_pow2(T)
+    K = int(math.log2(pow2))
+
+    sels = []                       # per level: (L, R, n_act) with L/R (n_act, N)
+    root = None
+    for k in range(K):
+        block = 1 << k
+        mids_all = (2 * np.arange(pow2 // (2 * block)) + 1) * block
+        mids = mids_all[mids_all < T]          # active nodes are a prefix
+        n_act = len(mids)
+        if n_act == 0:
+            sels.append(None)
+            continue
+        lefts, rights = mids - 1, mids
+
+        sig_l = _boundary_sigma(lefts, k, sels, N)
+        sig_r = _boundary_sigma(rights, k, sels, N)
+        xl = jnp.take_along_axis(xs[lefts], sig_l[..., None], axis=1)
+        xr = jnp.take_along_axis(xs[rights], sig_r[..., None], axis=1)
+        # Initial importance weights enter at level 0 (every t is then a
+        # boundary); after any stitching the weights are uniform — a constant
+        # shift of the logits that drops out of both categorical stages.
+        lw_l = log_wts[lefts] if k == 0 else jnp.zeros((n_act, N), xs.dtype)
+        lw_r = log_wts[rights] if k == 0 else jnp.zeros((n_act, N), xs.dtype)
+        node_keys = resample_keys[rights]
+        params_r = jax.tree.map(lambda z: z[rights], params)
+        last = k == K - 1
+
+        if fused:
+            rows, cols = _fused_node_draw(xl, xr, lw_l, lw_r, params_r,
+                                          node_keys, Gt, N, last, use_pallas)
+        else:
+            rows, cols = _generic_node_draw(xl, xr, lw_l, lw_r, params_r,
+                                            node_keys, Gt, N, last)
+        if last:
+            root = (rows[:, 0], cols[:, 0])    # single node, single pair
+        else:
+            sels.append((rows, cols, n_act))
+
+    # Top-down genealogy resolution: idx[t] = s_0(t)[s_1(t)[... [root] ...]].
+    ts = np.arange(T)
+    half = pow2 // 2
+    l_star, r_star = root
+    idx = jnp.where(jnp.asarray(ts < half), l_star[0], r_star[0])
+    for k in range(K - 2, -1, -1):
+        if sels[k] is None:
+            continue
+        L, R, n_act = sels[k]
+        p = ts >> (k + 1)
+        side = (ts >> k) & 1
+        act = p < n_act
+        # Pad with an identity row so statically-inactive nodes pass through.
+        ident = jnp.arange(N, dtype=L.dtype)[None]
+        Lp = jnp.concatenate([L, ident], axis=0)
+        Rp = jnp.concatenate([R, ident], axis=0)
+        li = np.where(act & (side == 0), p, n_act)
+        ri = np.where(act & (side == 1), p, n_act)
+        idx = jnp.where(jnp.asarray(side & act, dtype=bool),
+                        Rp[ri, idx], Lp[li, idx])
+
+    x_out = jnp.take_along_axis(xs, idx[:, None, None], axis=1)[:, 0]
+    return x_out, idx
+
+
+def _boundary_sigma(ts_np, k, sels, N):
+    """Current particle ordering sigma_t (rows, N) at the static boundary
+    times `ts_np`, composed from levels 0..k-1's selections:
+    sigma after level j = sigma_before[s_j] (a take_along_axis per level)."""
+    rows = len(ts_np)
+    sigma = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (rows, N))
+    for j in range(k):
+        if sels[j] is None:
+            continue
+        L, R, n_act = sels[j]
+        p = ts_np >> (j + 1)
+        side = (ts_np >> j) & 1
+        act = p < n_act
+        if not np.any(act):
+            continue
+        ident = jnp.arange(N, dtype=L.dtype)[None]
+        Lp = jnp.concatenate([L, ident], axis=0)
+        Rp = jnp.concatenate([R, ident], axis=0)
+        li = np.where(act & (side == 0), p, n_act)
+        ri = np.where(act & (side == 1), p, n_act)
+        maps = jnp.where(jnp.asarray(side & act, dtype=bool)[:, None],
+                         Rp[ri], Lp[li])
+        sigma = jnp.take_along_axis(sigma, maps.astype(jnp.int32), axis=1)
+    return sigma
+
+
+def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
+                     use_pallas):
+    """Two-stage factorised draw for one level's nodes — the law of
+    `fused_stitching_operator` on boundary rows only. Returns (rows, cols),
+    each (n_act, N) (or (n_act, 1) at the root)."""
+    rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, params_r)
+    rb = rb + lw_l
+    cb = cb + lw_r
+
+    lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
+           else _stitch.row_lse_xla(rf, cf, cb))        # (n_act, N)
+    row_logits = rb + lse
+    key_rows = jax.vmap(lambda k: jax.random.fold_in(k, 0))(node_keys)
+
+    if last:
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_rows)
+        row = jax.vmap(_rows_from_uniforms)(row_logits, u[:, None])[:, 0]
+        rf_sel = jnp.take_along_axis(rf, row[:, None, None], axis=1)[:, 0]
+        s = jnp.einsum("pk,pjk->pj", rf_sel, cf) + cb
+        u2 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1), ()))(
+            node_keys)
+        col = jax.vmap(_rows_from_uniforms)(s, u2[:, None])[:, 0]
+        return row[:, None], col[:, None]
+
+    u_rows = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(key_rows)
+    rows = jax.vmap(_rows_from_uniforms)(row_logits, u_rows)
+    rows = rows.at[:, 0].set(0)
+    rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
+    seed = jax.random.randint(node_keys[0], (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    cols = (_stitch.col_sample(seed, rf_sel, cf, cb) if use_pallas
+            else _stitch.col_sample_xla(seed, rf_sel, cf, cb))
+    cols = cols.at[:, 0].set(0)
+    return rows, cols
+
+
+def _generic_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last):
+    """Arbitrary-potential draw: materialise the (n_act, N, N) boundary
+    weights via nested vmap (the law of `stitching_operator`, boundary rows
+    only)."""
     def log_weight_fn(x_left, x_right, params_t):
         return Gt(x_right, x_left, params_t)
 
-    if getattr(Gt, "supports_pairwise_factors", False):
-        use_pallas = _fused_use_pallas(N)
-        op = lambda a, b: fused_stitching_operator(a, b, Gt, N, False, use_pallas)
-        last_op = lambda a, b: fused_stitching_operator(a, b, Gt, N, True, use_pallas)
-    else:
-        op = jax.vmap(
-            lambda a, b: stitching_operator(a, b, log_weight_fn, N, False)
-        )
-        last_op = jax.vmap(
-            lambda a, b: stitching_operator(a, b, log_weight_fn, N, True)
-        )
+    def one(xl_n, lw_l_n, xr_n, lw_r_n, p_n):
+        return stitching_weights(xl_n, lw_l_n, xr_n, lw_r_n, p_n, log_weight_fn)
 
-    inputs = ((xs, log_wts, origins), resample_keys, params)
-    (xs_out, _, picked), *_ = dc_map(inputs, op, last_op)
-    return xs_out, picked
+    w = jax.vmap(one)(xl, lw_l, xr, lw_r, params_r)       # (n_act, N, N)
+
+    if last:
+        idx = jax.vmap(
+            lambda k, wn: jax.random.choice(k, N * N, p=wn.ravel())
+        )(node_keys, w)
+        l_idx, r_idx = jnp.unravel_index(idx, (N, N))
+        return l_idx[:, None], r_idx[:, None]
+
+    idx = jax.vmap(lambda k, wn: multinomial(k, wn.ravel(), N))(node_keys, w)
+    l_idx, r_idx = jax.vmap(jnp.unravel_index, in_axes=(0, None))(idx, (N, N))
+    return l_idx.astype(jnp.int32), r_idx.astype(jnp.int32)

@@ -56,6 +56,24 @@ def use_pallas(bs, cs=None):
         <= _PALLAS_VMEM_BUDGET
 
 
+def use_pallas_scalar(bs, cs=None):
+    """Use the fused scalar block-scan for the batched `(T, B, 1, 1)` layout
+    (B independent 1-D filters, e.g. the spatial model): TPU only, dx = dy = 1.
+    B rides the vector lanes; see `pallas/scalar_scan.py`."""
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if bs.ndim != 3 or bs.shape[-1] != 1:
+        return False
+    if cs is not None and cs.shape[-1] != 1:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
 def filtering(ys, lgssm: LGSSM, parallel: bool):
     """Kalman filter.
 
@@ -163,6 +181,15 @@ def _parallel_filtering(m0, P0, ys, Fs, Qs, bs, Hs, Rs, cs):
         elems = fused_make_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:], ys[1:],
                                     m_el, P_el)
         _, ms, Ps, _, _ = fused_filter_scan(elems)
+    elif use_pallas_scalar(bs, cs):
+        # Batched scalar layout (T, B, 1, 1): elements are (T-1, B) scalars;
+        # the whole scan is one Pallas launch with B on the vector lanes.
+        from .pallas.scalar_scan import fused_scalar_filter_scan
+        elems = _make_associative_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:],
+                                           ys[1:], m0, P0)
+        A, b_el, C, eta, J = (z.reshape(z.shape[:2]) for z in elems)
+        _, ms, Ps, _, _ = fused_scalar_filter_scan((A, b_el, C, eta, J))
+        ms, Ps = ms[..., None], Ps[..., None, None]
     else:
         elems = _make_associative_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:],
                                            ys[1:], m0, P0)
@@ -196,6 +223,23 @@ def filtering_operator(elem1, elem2):
     A1, b1, C1, eta1, J1 = elem1
     A2, b2, C2, eta2, J2 = elem2
     dx = A1.shape[-1]
+    if dx == 1:
+        # Scalar fast path: the inverse is a reciprocal and every matmul an
+        # elementwise product — avoids lowering batched 1x1 linalg.
+        a1, c1, j1 = A1[..., 0, 0], C1[..., 0, 0], J1[..., 0, 0]
+        a2, c2, j2 = A2[..., 0, 0], C2[..., 0, 0], J2[..., 0, 0]
+        v1, n1 = b1[..., 0], eta1[..., 0]
+        v2, n2 = b2[..., 0], eta2[..., 0]
+        z = 1.0 / (1.0 + c1 * j2)
+        a2z = a2 * z
+        za1 = z * a1
+        A = a2z * a1
+        b = a2z * (v1 + c1 * n2) + v2
+        C = a2z * c1 * a2 + c2
+        eta = za1 * (n2 - j2 * v1) + n1
+        J = za1 * j2 * a1 + j1
+        return (A[..., None, None], b[..., None], C[..., None, None],
+                eta[..., None], J[..., None, None])
     I = jnp.eye(dx, dtype=A1.dtype)
 
     Z = jnp.linalg.inv(I + C1 @ J2)

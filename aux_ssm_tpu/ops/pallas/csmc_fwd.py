@@ -1,0 +1,290 @@
+"""Fused cSMC forward sweep for independent-proposal particle Gibbs.
+
+Covers the hot loop of the sequential auxiliary cSMC family (reference
+`_primitives/csmc/csmc.py:69-107` run through independent proposals,
+`csmc/independent.py`): T-1 steps of conditional-multinomial resampling,
+(optional PGAS) ancestor redraw, and reweighting.
+
+Why this can be a pure index/weight kernel
+------------------------------------------
+With *independent* per-step proposals, resampling permutes particle indices
+but never changes the particle VALUES at a step: slot j at time t always
+holds the precomputed proposal xs[t, j]. When the step weight additionally
+pair-factorises (`AbsorbedGt.pairwise_factors`: Gaussian transition +
+prev-independent potential),
+
+    log_w_t[j] = col[t, j] + row_bias[t, anc[j]] + row_feat[t, anc[j]] . col_feat[t, j]
+
+every model evaluation becomes a precomputed tensor (row/col features over
+the FIXED proposal sets), and the sequential dependence reduces to weight
+normalisation + categorical index draws. The Pallas kernel runs the whole
+T-1-step recursion in one launch: particles ride the 128-wide lanes,
+resampling is a cumsum-matmul + threshold count, gathers are one-hot
+matmuls — no XLA while-loop overhead, no HBM round-trips for the carry.
+
+The same algebra is provided as an XLA `lax.scan` (`factor_scan_xla`) used
+as the non-TPU fallback and as the oracle in tests. Both consume the same
+hoisted uniforms/noise, so the fused path is a drop-in for the generic scan
+(same key stream, same law).
+
+Mosaic notes: transposes of (1, N) <-> (N, 1) are done as masked diagonal
+reductions; all broadcasts are single-sided (see project memory on the
+dual-broadcast miscompile); counts/indices stay in f32 (exact below 2^24).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_slice = jax.lax.slice_in_dim
+
+
+def _col_from_row(x_row, N):
+    """(1, N) -> (N, 1) via masked diagonal reduction (no transpose op)."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
+    xb = jnp.broadcast_to(x_row, (N, N))
+    return jnp.sum(jnp.where(eye, xb, 0.0), axis=1, keepdims=True)
+
+
+def _row_from_col(x_col, N):
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
+    xb = jnp.broadcast_to(x_col, (N, N))
+    return jnp.sum(jnp.where(eye, xb, 0.0), axis=0, keepdims=True)
+
+
+def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
+                logw_ref, anc_ref, w_scr, *, N, k, pgas):
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        w_scr[:] = w0_ref[:]
+
+    w = w_scr[:]                       # (1, N) normalised weights at t-1
+    u = u_ref[0]                       # (1, N) resampling uniforms
+    rf = rf_ref[0]                     # (N, k)
+    cf = cf_ref[0]                     # (N, k)
+    rb = rb_ref[0]                     # (1, N)
+    cb = cb_ref[0]                     # (1, N)
+
+    io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    LT = (io0 <= io1).astype(f32)
+
+    # Conditional multinomial: anc[j] = #{i : cumsum(w)[i] < u[j]}, lane 0
+    # pinned (the law of `resampling.multinomial_from_uniforms`).
+    cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)          # (1, N)
+    cw_col = _col_from_row(cw, N)
+    lt_mask = (jnp.broadcast_to(cw_col, (N, N))
+               < jnp.broadcast_to(u, (N, N))).astype(f32)
+    anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)         # (1, N)
+    anc = jnp.minimum(anc, f32(N - 1))
+
+    if pgas:
+        # PGAS ancestor redraw for the reference lane: categorical over
+        # log w + logpdf(x*_t | x_prev_i); x*_t sits in proposal slot 0, so
+        # its column factors are row 0 of cf/cb.
+        cf0 = _slice(cf, 0, 1, axis=0)                            # (1, k)
+        sA = jnp.sum(rf * jnp.broadcast_to(cf0, (N, k)),
+                     axis=1, keepdims=True)                       # (N, 1)
+        scoreA = jnp.log(jnp.maximum(w, 1e-37)) + rb + _row_from_col(sA, N)
+        mA = jnp.max(scoreA, axis=1, keepdims=True)
+        wA = jnp.exp(scoreA - mA)
+        cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        ua = _slice(ua_ref[0], 0, 1, axis=1)                      # (1, 1)
+        thresh = ua * _slice(cwA, N - 1, N, axis=1)
+        a0 = jnp.sum((cwA < jnp.broadcast_to(thresh, (1, N))).astype(f32),
+                     axis=1, keepdims=True)
+        a0 = jnp.minimum(a0, f32(N - 1))
+        anc = jnp.where(lane == 0, jnp.broadcast_to(a0, (1, N)), anc)
+    else:
+        anc = jnp.where(lane == 0, f32(0.0), anc)
+
+    # One-hot gathers of the ancestor rows' factors.
+    ancb = jnp.broadcast_to(anc, (N, N))
+    O = (io0.astype(f32) == ancb).astype(f32)                     # O[i,j]=[anc_j=i]
+    rb_g = jax.lax.dot_general(rb, O, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)        # (1, N)
+    anc_col = _col_from_row(anc, N)
+    OT = (jnp.broadcast_to(anc_col, (N, N)) == io1.astype(f32)).astype(f32)
+    rf_g = jax.lax.dot_general(OT, rf, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)        # (N, k)
+
+    s_col = jnp.sum(rf_g * cf, axis=1, keepdims=True)             # (N, 1)
+    log_w = cb + rb_g + _row_from_col(s_col, N)                   # (1, N)
+
+    logw_ref[0] = log_w
+    anc_ref[0] = anc
+
+    mW = jnp.max(log_w, axis=1, keepdims=True)
+    wn = jnp.exp(log_w - mW)
+    w_scr[:] = wn / jnp.sum(wn, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("pgas", "interpret"))
+def fused_forward_scan(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False,
+                       interpret=False):
+    """Run the T-1-step cSMC index/weight recursion in one Pallas launch.
+
+    rf, cf : (T-1, N, k) pair factors (rows = time-(t-1) particles, cols =
+        time-t particles); rb, cb : (T-1, N) biases (cb includes potential +
+        proposal correction); res_u : (T-1, N) resampling uniforms; anc_u :
+        (T-1,) PGAS uniforms; w0 : (N,) normalised initial weights.
+
+    Returns (log_ws (T-1, N), ancestors (T-1, N) int32).
+    """
+    Tm1, N, k = rf.shape
+    f32 = jnp.float32
+    row = lambda z: z[:, None, :].astype(f32)                     # (T-1, 1, N)
+    ua = jnp.broadcast_to(anc_u[:, None, None], (Tm1, 1, N)).astype(f32)
+
+    mat_spec = pl.BlockSpec((1, N, k), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w0_spec = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    log_ws, anc = pl.pallas_call(
+        functools.partial(_fwd_kernel, N=N, k=k, pgas=pgas),
+        grid=(Tm1,),
+        in_specs=[mat_spec, mat_spec, row_spec, row_spec, row_spec, row_spec,
+                  w0_spec],
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+                   jax.ShapeDtypeStruct((Tm1, 1, N), f32)),
+        scratch_shapes=[pltpu.VMEM((1, N), f32)],
+        interpret=interpret,
+    )(rf.astype(f32), cf.astype(f32), row(rb), row(cb), row(res_u), ua,
+      w0[None].astype(f32))
+    return log_ws[:, 0], anc[:, 0].astype(jnp.int32)
+
+
+def factor_scan_xla(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False):
+    """XLA reference/fallback of `fused_forward_scan` — same algebra, same
+    uniforms, implemented as a `lax.scan` (used on CPU and in tests)."""
+    N = rf.shape[1]
+
+    def body(w, inp):
+        rf_t, cf_t, rb_t, cb_t, u_t, ua_t = inp
+        cw = jnp.cumsum(w)
+        anc = jnp.searchsorted(cw, u_t).astype(jnp.int32)
+        anc = jnp.clip(anc, 0, N - 1)
+        if pgas:
+            scoreA = jnp.log(jnp.maximum(w, 1e-37)) + rb_t + rf_t @ cf_t[0]
+            wA = jnp.exp(scoreA - jnp.max(scoreA))
+            cwA = jnp.cumsum(wA)
+            a0 = jnp.sum(cwA < ua_t * cwA[-1]).astype(jnp.int32)
+            anc = anc.at[0].set(jnp.clip(a0, 0, N - 1))
+        else:
+            anc = anc.at[0].set(0)
+        log_w = cb_t + rb_t[anc] + jnp.sum(rf_t[anc] * cf_t, axis=-1)
+        wn = jnp.exp(log_w - jnp.max(log_w))
+        return wn / jnp.sum(wn), (log_w, anc)
+
+    _, (log_ws, anc) = jax.lax.scan(body, w0, (rf, cf, rb, cb, res_u, anc_u))
+    return log_ws, anc
+
+
+# --------------------------------------------------------------------------
+# Backward (Whiteley) sampling pass
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(rf_ref, cf_ref, rb_ref, lw_ref, u_ref, b0_ref,
+                out_ref, bh_scr, *, N, k):
+    """One reverse step: categorical over log_w_t[i] + logpdf(x_sel | x_i),
+    with the selected next particle entering through its column factors."""
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        bh_scr[:] = b0_ref[:]
+
+    bh = bh_scr[:]                     # (1, N) one-hot of B_{s+1}
+    rf = rf_ref[0]                     # (N, k)
+    cf = cf_ref[0]                     # (N, k)
+    rb = rb_ref[0]                     # (1, N)
+    lw = lw_ref[0]                     # (1, N)
+    u = _slice(u_ref[0], 0, 1, axis=1)  # (1, 1)
+
+    io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    LT = (io0 <= io1).astype(f32)
+
+    cf_sel = jax.lax.dot_general(bh, cf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)      # (1, k)
+    s_col = jnp.sum(rf * jnp.broadcast_to(cf_sel, (N, k)),
+                    axis=1, keepdims=True)                        # (N, 1)
+    score = lw + rb + _row_from_col(s_col, N)                     # (1, N)
+
+    m = jnp.max(score, axis=1, keepdims=True)
+    w = jnp.exp(score - m)
+    cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    thresh = u * _slice(cw, N - 1, N, axis=1)
+    B = jnp.sum((cw < jnp.broadcast_to(thresh, (1, N))).astype(f32),
+                axis=1, keepdims=True)
+    B = jnp.minimum(B, f32(N - 1))
+
+    out_ref[0] = jnp.broadcast_to(B, (1, N))
+    bh_scr[:] = (lane.astype(f32) == jnp.broadcast_to(B, (1, N))).astype(f32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_backward_scan(rf, cf, rb, log_ws, us, b_T, interpret=False):
+    """Whiteley backward sampling as one reverse Pallas launch.
+
+    rf, cf : (T-1, N, k) factors of Pt.logpdf (rows = time-t particles,
+        cols = time-(t+1)); rb : (T-1, N) row bias; log_ws : (T-1, N)
+        forward log-weights at steps 0..T-2; us : (T-1,) uniforms;
+    b_T : int32 index drawn at the last step. Returns picked (T-1,) int32
+    (indices at steps 0..T-2).
+    """
+    Tm1, N, k = rf.shape
+    f32 = jnp.float32
+    row = lambda z: z[:, None, :].astype(f32)
+    u_rows = jnp.broadcast_to(us[:, None, None], (Tm1, 1, N)).astype(f32)
+    b0 = (jnp.arange(N) == b_T).astype(f32)[None]
+
+    rev = lambda t: (Tm1 - 1 - t, 0, 0)
+    mat_spec = pl.BlockSpec((1, N, k), rev, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, N), rev, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N), rev, memory_space=pltpu.VMEM)
+    b0_spec = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    picked = pl.pallas_call(
+        functools.partial(_bwd_kernel, N=N, k=k),
+        grid=(Tm1,),
+        in_specs=[mat_spec, mat_spec, row_spec, row_spec, row_spec, b0_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+        scratch_shapes=[pltpu.VMEM((1, N), f32)],
+        interpret=interpret,
+    )(rf.astype(f32), cf.astype(f32), row(rb), row(log_ws), u_rows, b0)
+    return picked[:, 0, 0].astype(jnp.int32)
+
+
+def backward_factor_scan_xla(rf, cf, rb, log_ws, us, b_T):
+    """XLA reference/fallback of `fused_backward_scan` (same algebra)."""
+    def body(b_next, inp):
+        rf_t, cf_t, rb_t, lw_t, u_t = inp
+        score = lw_t + rb_t + rf_t @ cf_t[b_next]
+        w = jnp.exp(score - jnp.max(score))
+        cw = jnp.cumsum(w)
+        b = jnp.sum(cw < u_t * cw[-1]).astype(jnp.int32)
+        b = jnp.clip(b, 0, rf_t.shape[0] - 1)
+        return b, b
+
+    _, picked = jax.lax.scan(body, b_T, (rf, cf, rb, log_ws, us), reverse=True)
+    return picked

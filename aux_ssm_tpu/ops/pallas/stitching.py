@@ -58,7 +58,8 @@ def _row_lse_kernel(rf_ref, cf_ref, cb_ref, out_ref):
         preferred_element_type=jnp.float32,
     ) + cb                  # (ROW_BLOCK, N)
     m = jnp.max(s, axis=1, keepdims=True)
-    out_ref[0] = (m + jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True)))[:, 0]
+    lse = m + jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True))
+    out_ref[0, 0] = lse[:, 0].reshape(1, _ROW_BLOCK)
 
 
 def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
@@ -68,7 +69,10 @@ def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
     """
     P, N, k = row_feat.shape
     rb_blocks = pl.cdiv(N, _ROW_BLOCK)
-    return pl.pallas_call(
+    # Output laid out (P, rb, 1, ROW_BLOCK): Mosaic requires the last two
+    # block dims to be (divisible by 8, divisible by 128) or equal to the
+    # array dims — (1, ROW_BLOCK) blocks on a (P, N) array are rejected.
+    out = pl.pallas_call(
         _row_lse_kernel,
         grid=(P, rb_blocks),
         in_specs=[
@@ -79,11 +83,12 @@ def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
             pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _ROW_BLOCK), lambda p, r: (p, r),
+        out_specs=pl.BlockSpec((1, 1, 1, _ROW_BLOCK), lambda p, r: (p, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, rb_blocks, 1, _ROW_BLOCK), jnp.float32),
         interpret=interpret,
     )(row_feat, col_feat, col_bias[:, None, :])
+    return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :N]
 
 
 def _mix32(h):
@@ -110,8 +115,10 @@ def counter_uniform(seed, pair, block, rows, cols):
     h = _mix32(h ^ (rows.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
                     + cols.astype(jnp.uint32) * jnp.uint32(0x165667B1)))
     h = _mix32(h + jnp.uint32(0x9E3779B9))
-    return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24)) \
-        + jnp.float32(2 ** -25)
+    # Mosaic can't cast uint32 -> f32 directly; the top-24-bit value fits in
+    # int32, so the int32 detour is exact and bit-identical everywhere.
+    h24 = (h >> jnp.uint32(8)).astype(jnp.int32)
+    return h24.astype(jnp.float32) * (1.0 / (1 << 24)) + jnp.float32(2 ** -25)
 
 
 def _gumbel_argmax_scores(s, seed, pair, block):
@@ -140,7 +147,7 @@ def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
     ) + cb                  # (ROW_BLOCK, N)
 
     idx = _gumbel_argmax_scores(s, seed_ref[0], p, r)
-    out_ref[0] = idx[:, 0]
+    out_ref[0, 0] = idx[:, 0].reshape(1, -1)
 
 
 def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
@@ -152,7 +159,7 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
     P, n, k = row_feat_sel.shape
     N = col_feat.shape[1]
     rb_blocks = pl.cdiv(n, _ROW_BLOCK)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _col_sample_kernel,
         grid=(P, rb_blocks),
         in_specs=[
@@ -164,11 +171,12 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
             pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _ROW_BLOCK), lambda p, r: (p, r),
+        out_specs=pl.BlockSpec((1, 1, 1, _ROW_BLOCK), lambda p, r: (p, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((P, rb_blocks, 1, _ROW_BLOCK), jnp.int32),
         interpret=interpret,
     )(seed.reshape((1,)), row_feat_sel, col_feat, col_bias[:, None, :])
+    return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :n]
 
 
 # --------------------------------------------------------------------------

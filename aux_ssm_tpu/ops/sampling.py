@@ -35,10 +35,15 @@ def sampling(key, ms, Ps, lgssm: LGSSM, parallel: bool):
     """
     gains, incs = _backward_maps(key, ms, Ps, lgssm.Fs, lgssm.Qs, lgssm.bs)
     if parallel:
-        from .filtering import use_pallas
+        from .filtering import use_pallas, use_pallas_scalar
         if use_pallas(incs):
             from .pallas.kalman_fused import fused_affine_scan
             _, xs = fused_affine_scan(gains, incs, reverse=True)
+        elif use_pallas_scalar(incs):
+            from .pallas.scalar_scan import fused_scalar_affine_scan
+            _, xs = fused_scalar_affine_scan(gains[..., 0, 0], incs[..., 0],
+                                             reverse=True)
+            xs = xs[..., None]
         else:
             _, xs = jax.lax.associative_scan(sampling_operator, (gains, incs),
                                              reverse=True)
@@ -58,6 +63,9 @@ def sampling_operator(elem1, elem2):
     """Composition of affine maps: (G1,e1) then (G2,e2) -> (G2 G1, G2 e1 + e2)."""
     G1, e1 = elem1
     G2, e2 = elem2
+    if G1.shape[-1] == 1:  # scalar fast path (see filtering_operator)
+        g1, g2 = G1[..., 0, 0], G2[..., 0, 0]
+        return (g2 * g1)[..., None, None], (g2 * e1[..., 0])[..., None] + e2
     return G2 @ G1, mv(G2, e1) + e2
 
 

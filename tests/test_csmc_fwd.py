@@ -1,0 +1,202 @@
+"""Fused cSMC forward sweep (independent proposals): Pallas-interpret vs the
+XLA factor scan, the factor scan vs the generic forward pass, and chain
+invariance through the fused path."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aux_ssm_tpu.kernels import csmc as csmc_mod
+from aux_ssm_tpu.kernels.csmc_independent import get_kernel as get_indep
+from aux_ssm_tpu.models import stochastic_volatility as sv
+from aux_ssm_tpu.ops.pallas import csmc_fwd
+
+from csmc_common import ar1_lgssm_arrays
+from oracles import explicit_filter, explicit_smoother
+
+
+def _sv_model(T=12, D=2, seed=0):
+    xs, ys = sv.get_data(jax.random.key(seed), 0.0, 0.9, 2.0, 0.25, D, T)
+    M0, G0, Mt, Gt = sv.get_feynman_kac(ys, 0.0, 0.9, 2.0, 0.25)
+    return xs, M0, G0, Mt, Gt
+
+
+def _factor_inputs(T=24, N=32, k=2, seed=0, peaked=False):
+    rng = np.random.default_rng(seed)
+    scale = 2.0 if peaked else 0.5
+    rf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * scale, jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * scale, jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    res_u = jnp.asarray(rng.uniform(size=(T - 1, N)), jnp.float32)
+    anc_u = jnp.asarray(rng.uniform(size=(T - 1,)), jnp.float32)
+    w0 = rng.uniform(0.1, 1.0, N)
+    w0 = jnp.asarray(w0 / w0.sum(), jnp.float32)
+    return rf, cf, rb, cb, res_u, anc_u, w0
+
+
+@pytest.mark.parametrize("pgas", [False, True])
+@pytest.mark.parametrize("N", [16, 32, 200])
+def test_pallas_matches_xla_factor_scan(pgas, N):
+    inputs = _factor_inputs(N=N, seed=N)
+    lw_p, anc_p = csmc_fwd.fused_forward_scan(*inputs, pgas=pgas, interpret=True)
+    lw_x, anc_x = csmc_fwd.factor_scan_xla(*inputs, pgas=pgas)
+    # cumsum orders differ (triangular matmul vs jnp.cumsum): allow rare
+    # borderline index flips, then weights must agree where ancestors do.
+    agree = np.asarray(anc_p) == np.asarray(anc_x)
+    assert agree.mean() > 0.995, agree.mean()
+    lw_p, lw_x = np.asarray(lw_p), np.asarray(lw_x)
+    np.testing.assert_allclose(lw_p[agree], lw_x[agree], rtol=2e-4, atol=2e-4)
+
+
+def test_factor_scan_matches_generic_forward():
+    """Same keys through the fused (XLA-mode) and generic forward passes on a
+    real model: particle values identical, weights equal, ancestors equal up
+    to cumsum rounding."""
+    T, D, N = 16, 2, 48
+    xs0, M0, G0, Mt, Gt = _sv_model(T, D)
+
+    # Build the aPG factory products (independent proposals + absorbed
+    # potentials) exactly as the sequential path does.
+    from aux_ssm_tpu.kernels.csmc_independent import (
+        DiagonalGaussian, IndependentDynamics, AbsorbedG0, AbsorbedGt)
+    from aux_ssm_tpu.ops import resampling as resampling_mod
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(xs0 + 0.3 * rng.standard_normal(xs0.shape), jnp.float32)
+    scale = jnp.full((T,), 0.4, jnp.float32)
+    prop0 = DiagonalGaussian(loc=u[0], scale=scale[0])
+    propt = IndependentDynamics(params=(u[1:], scale[1:]))
+    g0 = AbsorbedG0(prior=M0, pot=G0, u=u[0], shift=jnp.zeros_like(u[0]),
+                    scale=scale[0])
+    gt = AbsorbedGt(trans=Mt, pot=Gt,
+                    params=(Mt.params, Gt.params,
+                            (u[1:], jnp.zeros_like(u[1:]), scale[1:])))
+
+    key = jax.random.key(3)
+    x_star = jnp.asarray(xs0, jnp.float32)
+
+    gen = csmc_mod.forward_pass(key, x_star, prop0, g0, propt, gt, N,
+                                resampling_mod.multinomial)
+    os.environ["AUX_SSM_FUSED_CSMC"] = "xla"
+    try:
+        fus = csmc_mod.forward_pass(key, x_star, prop0, g0, propt, gt, N,
+                                    resampling_mod.multinomial)
+    finally:
+        os.environ["AUX_SSM_FUSED_CSMC"] = "0"
+
+    w_T_g, xs_g, lw_g, anc_g = gen
+    w_T_f, xs_f, lw_f, anc_f = fus
+    np.testing.assert_allclose(np.asarray(xs_g), np.asarray(xs_f),
+                               rtol=1e-6, atol=1e-6)
+    agree = np.asarray(anc_g) == np.asarray(anc_f)
+    assert agree.mean() > 0.99, agree.mean()
+    rows_ok = agree.all(axis=1)
+    np.testing.assert_allclose(np.asarray(lw_g)[1:][rows_ok],
+                               np.asarray(lw_f)[1:][rows_ok],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(w_T_g), np.asarray(w_T_f),
+                               rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_fused_chain_invariance():
+    """The aPG chain through the fused (XLA-mode) forward pass must recover
+    the LGSSM smoothing posterior."""
+    T, D, N = 6, 1, 32
+    PHI, SIG_X, SIG_Y = 0.9, 0.5, 0.4
+    rng = np.random.default_rng(0)
+    ys = rng.standard_normal((T, D)) * 0.5
+
+    import chex
+    from jax.scipy.stats import norm
+    from aux_ssm_tpu.kernels.csmc_base import UnivariatePotential, Potential
+    from csmc_common import ARDynamics, GaussianM0
+
+    @chex.dataclass
+    class ObsG0(UnivariatePotential):
+        def __call__(self, x):
+            return jnp.sum(norm.logpdf(jnp.asarray(ys[0]), x, SIG_Y), axis=-1)
+
+    @chex.dataclass
+    class ObsGt(Potential):
+        prev_dependent = False
+
+        def __call__(self, x_next, x_t, y):
+            return jnp.sum(norm.logpdf(y, x_next, SIG_Y), axis=-1)
+
+    M0 = GaussianM0(m0=jnp.zeros(D), sig0=jnp.ones(D))
+    Mt = ARDynamics(params=(jnp.full((T - 1, D), PHI), jnp.full((T - 1, D), SIG_X)))
+
+    os.environ["AUX_SSM_FUSED_CSMC"] = "xla"
+    try:
+        init, kernel = get_indep(M0, ObsG0(), Mt, ObsGt(params=jnp.asarray(ys[1:])),
+                                 N, backward=True, Pt=Mt)
+    finally:
+        pass
+    delta = 0.8
+    n_iter = 30_000
+
+    def body(st, k):
+        st = kernel(k, st, delta)
+        return st, (st.x, st.updated)
+
+    try:
+        keys = jax.random.split(jax.random.key(0), n_iter)
+        _, (xs, upd) = jax.lax.scan(jax.jit(body), init(jnp.zeros((T, D))), keys)
+    finally:
+        os.environ["AUX_SSM_FUSED_CSMC"] = "0"
+
+    xs = np.asarray(xs)[n_iter // 4:]
+    assert float(np.asarray(upd).mean()) > 0.2
+
+    params = ar1_lgssm_arrays(T, D, PHI, SIG_X, SIG_Y)
+    ms, Ps, _ = explicit_filter(ys, *params)
+    msm, Psm = explicit_smoother(ms, Ps, params[2], params[3], params[4])
+    std = np.sqrt(np.einsum("tii->ti", Psm))
+    np.testing.assert_allclose(xs.mean(0), msm,
+                               atol=6 * std.max() / np.sqrt(len(xs) / 30))
+    np.testing.assert_allclose(xs.std(0), std, rtol=0.15)
+
+
+@pytest.mark.parametrize("N", [16, 64])
+def test_backward_pallas_matches_xla(N):
+    from aux_ssm_tpu.ops.pallas.csmc_fwd import (
+        fused_backward_scan, backward_factor_scan_xla)
+    T, k = 20, 3
+    rng = np.random.default_rng(N)
+    rf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * 0.5, jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * 0.5, jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    lw = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    us = jnp.asarray(rng.uniform(size=(T - 1,)), jnp.float32)
+    b_T = jnp.int32(3)
+    p_p = fused_backward_scan(rf, cf, rb, lw, us, b_T, interpret=True)
+    p_x = backward_factor_scan_xla(rf, cf, rb, lw, us, b_T)
+    agree = np.asarray(p_p) == np.asarray(p_x)
+    assert agree.mean() > 0.95, (agree.mean(), np.asarray(p_p), np.asarray(p_x))
+
+
+def test_fused_backward_matches_generic():
+    """Same keys through the generic and fused (XLA) backward passes on the
+    SV model: identical picks up to cumsum rounding."""
+    T, D, N = 14, 2, 32
+    xs0, M0, G0, Mt, Gt = _sv_model(T, D)
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.standard_normal((T, N, D)), jnp.float32)
+    log_ws = jnp.asarray(rng.standard_normal((T, N)), jnp.float32)
+    w_T = jnp.asarray(np.exp(rng.standard_normal(N)), jnp.float32)
+    w_T = w_T / jnp.sum(w_T)
+    key = jax.random.key(11)
+
+    from aux_ssm_tpu.kernels.csmc import (
+        backward_sampling_pass, _fused_backward_pass)
+    traj_g, picked_g = backward_sampling_pass(key, Mt, w_T, xs, log_ws)
+    traj_f, picked_f = _fused_backward_pass(key, Mt, w_T, xs, log_ws,
+                                            on_tpu=False)
+    agree = np.asarray(picked_g) == np.asarray(picked_f)
+    assert agree.mean() > 0.9, agree.mean()
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(traj_g), np.asarray(traj_f))
