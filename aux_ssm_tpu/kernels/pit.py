@@ -339,10 +339,37 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
     fake = jax.tree.map(lambda z: jnp.full_like(z[:1], jnp.nan), params)
     params = jax.tree.map(lambda f, z: jnp.concatenate([f, z], axis=0), fake, params)
 
+    sels, root = run_stitch_tree(xs, xs, log_wts, resample_keys, params, Gt, N,
+                                 include_root=True)
+    idx0 = _root_init(root, T, N)
+    idx = resolve_genealogy(sels, idx0, T, N)
+    x_out = jnp.take_along_axis(xs, idx[:, None, None], axis=1)[:, 0]
+    return x_out, idx
+
+
+def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
+                    include_root, level_seeds=None, pair_offsets=None):
+    """Run the dSMC stitching levels over S "steps", recording selections.
+
+    left_vals / right_vals : (S, N, d) particle sets serving as a node's
+        left/right boundary values (both = the proposals `xs` for the
+        single-device tree; chunk-boundary particle sets for the upper tree
+        of the cross-chip kernel).
+    log_wts : (S, N) initial importance weights, or None for uniform (after
+        any stitching, weights are uniform — a constant logit shift).
+    step_keys / params : per-step PRNG keys and (right-shifted) Gt params.
+    include_root : draw one unconditional pair at the top level instead of N.
+
+    Returns (sels, root): `sels` is a list over recorded levels of
+    (L, R, n_act) selection arrays (L/R (n_act, N) int32), `root` the single
+    (l*, r*) pair (or None). The genealogy is NOT resolved here — compose
+    with `resolve_genealogy`.
+    """
+    S = left_vals.shape[0]
     fused = getattr(Gt, "supports_pairwise_factors", False)
     use_pallas = _fused_use_pallas(N) if fused else False
 
-    pow2 = _next_pow2(T)
+    pow2 = _next_pow2(S)
     K = int(math.log2(pow2))
 
     sels = []                       # per level: (L, R, n_act) with L/R (n_act, N)
@@ -350,7 +377,7 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
     for k in range(K):
         block = 1 << k
         mids_all = (2 * np.arange(pow2 // (2 * block)) + 1) * block
-        mids = mids_all[mids_all < T]          # active nodes are a prefix
+        mids = mids_all[mids_all < S]          # active nodes are a prefix
         n_act = len(mids)
         if n_act == 0:
             sels.append(None)
@@ -359,20 +386,25 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
 
         sig_l = _boundary_sigma(lefts, k, sels, N)
         sig_r = _boundary_sigma(rights, k, sels, N)
-        xl = jnp.take_along_axis(xs[lefts], sig_l[..., None], axis=1)
-        xr = jnp.take_along_axis(xs[rights], sig_r[..., None], axis=1)
-        # Initial importance weights enter at level 0 (every t is then a
-        # boundary); after any stitching the weights are uniform — a constant
-        # shift of the logits that drops out of both categorical stages.
-        lw_l = log_wts[lefts] if k == 0 else jnp.zeros((n_act, N), xs.dtype)
-        lw_r = log_wts[rights] if k == 0 else jnp.zeros((n_act, N), xs.dtype)
-        node_keys = resample_keys[rights]
+        xl = jnp.take_along_axis(left_vals[lefts], sig_l[..., None], axis=1)
+        xr = jnp.take_along_axis(right_vals[rights], sig_r[..., None], axis=1)
+        # Initial importance weights enter at level 0 (every step is then a
+        # boundary); after any stitching the weights are uniform.
+        if log_wts is not None and k == 0:
+            lw_l, lw_r = log_wts[lefts], log_wts[rights]
+        else:
+            lw_l = jnp.zeros((n_act, N), left_vals.dtype)
+            lw_r = jnp.zeros((n_act, N), left_vals.dtype)
+        node_keys = step_keys[rights]
         params_r = jax.tree.map(lambda z: z[rights], params)
-        last = k == K - 1
+        last = include_root and k == K - 1
 
         if fused:
+            seed_k = None if level_seeds is None else level_seeds[k]
+            off_k = 0 if pair_offsets is None else pair_offsets[k]
             rows, cols = _fused_node_draw(xl, xr, lw_l, lw_r, params_r,
-                                          node_keys, Gt, N, last, use_pallas)
+                                          node_keys, Gt, N, last, use_pallas,
+                                          seed=seed_k, pair_offset=off_k)
         else:
             rows, cols = _generic_node_draw(xl, xr, lw_l, lw_r, params_r,
                                             node_keys, Gt, N, last)
@@ -381,12 +413,22 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
         else:
             sels.append((rows, cols, n_act))
 
-    # Top-down genealogy resolution: idx[t] = s_0(t)[s_1(t)[... [root] ...]].
-    ts = np.arange(T)
-    half = pow2 // 2
+    return sels, root
+
+
+def _root_init(root, S, N):
+    """Initial per-step index from the root's single (l*, r*) pair."""
+    half = _next_pow2(S) // 2
     l_star, r_star = root
-    idx = jnp.where(jnp.asarray(ts < half), l_star[0], r_star[0])
-    for k in range(K - 2, -1, -1):
+    return jnp.where(jnp.asarray(np.arange(S) < half), l_star[0], r_star[0])
+
+
+def resolve_genealogy(sels, idx_init, S, N):
+    """Top-down resolution idx[t] = s_0(t)[s_1(t)[... [idx_init[t]] ...]] of
+    the recorded selections; O(S) work per level."""
+    ts = np.arange(S)
+    idx = idx_init
+    for k in range(len(sels) - 1, -1, -1):
         if sels[k] is None:
             continue
         L, R, n_act = sels[k]
@@ -401,9 +443,7 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
         ri = np.where(act & (side == 1), p, n_act)
         idx = jnp.where(jnp.asarray(side & act, dtype=bool),
                         Rp[ri, idx], Lp[li, idx])
-
-    x_out = jnp.take_along_axis(xs, idx[:, None, None], axis=1)[:, 0]
-    return x_out, idx
+    return idx
 
 
 def _boundary_sigma(ts_np, k, sels, N):
@@ -433,10 +473,12 @@ def _boundary_sigma(ts_np, k, sels, N):
 
 
 def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
-                     use_pallas):
+                     use_pallas, seed=None, pair_offset=0):
     """Two-stage factorised draw for one level's nodes — the law of
     `fused_stitching_operator` on boundary rows only. Returns (rows, cols),
-    each (n_act, N) (or (n_act, 1) at the root)."""
+    each (n_act, N) (or (n_act, 1) at the root). `seed`/`pair_offset`
+    override the stage-2 counter base so a launch over a slice of a level's
+    nodes (cross-chip sharding) draws bit-identically to the full launch."""
     rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, params_r)
     rb = rb + lw_l
     cb = cb + lw_r
@@ -460,10 +502,12 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     rows = jax.vmap(_rows_from_uniforms)(row_logits, u_rows)
     rows = rows.at[:, 0].set(0)
     rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
-    seed = jax.random.randint(node_keys[0], (), 0, jnp.iinfo(jnp.int32).max,
-                              dtype=jnp.int32)
-    cols = (_stitch.col_sample(seed, rf_sel, cf, cb) if use_pallas
-            else _stitch.col_sample_xla(seed, rf_sel, cf, cb))
+    if seed is None:
+        seed = jax.random.randint(node_keys[0], (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    cols = (_stitch.col_sample(seed, rf_sel, cf, cb, pair_offset=pair_offset)
+            if use_pallas
+            else _stitch.col_sample_xla(seed, rf_sel, cf, cb, pair_offset))
     cols = cols.at[:, 0].set(0)
     return rows, cols
 

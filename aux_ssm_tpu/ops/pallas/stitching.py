@@ -134,8 +134,11 @@ def _gumbel_argmax_scores(s, seed, pair, block):
 
 def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
     """Gumbel-argmax categorical over columns for one 128-row block of
-    sampled rows; counters keyed by (pair, block) keep draws independent."""
-    p = pl.program_id(0)
+    sampled rows; counters keyed by (pair, block) keep draws independent.
+    `seed_ref` holds (seed, pair_offset): the offset shifts the pair counter
+    so a sharded launch over a slice of a level's nodes draws bit-identically
+    to the full single-device launch."""
+    p = pl.program_id(0) + seed_ref[1]
     r = pl.program_id(1)
 
     rf = rf_ref[0]          # (ROW_BLOCK, k)
@@ -150,11 +153,13 @@ def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
     out_ref[0, 0] = idx[:, 0].reshape(1, -1)
 
 
-def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
+def col_sample(seed, row_feat_sel, col_feat, col_bias, *, pair_offset=0,
+               interpret=False):
     """Draw one column per sampled row from the exact conditional categorical.
 
     seed (int32 scalar array); row_feat_sel (P, n, k); col_feat (P, N, k);
-    col_bias (P, N) -> (P, n) int32 column indices.
+    col_bias (P, N) -> (P, n) int32 column indices. `pair_offset` shifts the
+    pair counter (see `_col_sample_kernel`).
     """
     P, n, k = row_feat_sel.shape
     N = col_feat.shape[1]
@@ -175,7 +180,9 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, rb_blocks, 1, _ROW_BLOCK), jnp.int32),
         interpret=interpret,
-    )(seed.reshape((1,)), row_feat_sel, col_feat, col_bias[:, None, :])
+    )(jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                 jnp.asarray(pair_offset, jnp.int32).reshape(())]),
+      row_feat_sel, col_feat, col_bias[:, None, :])
     return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :n]
 
 
@@ -200,7 +207,7 @@ def row_lse_xla(row_feat, col_feat, col_bias, block=512):
     return out.transpose(1, 0, 2).reshape(P, nb * block)[:, :N]
 
 
-def col_sample_xla(seed, row_feat_sel, col_feat, col_bias):
+def col_sample_xla(seed, row_feat_sel, col_feat, col_bias, pair_offset=0):
     """Blocked XLA equivalent of `col_sample` — same counter-based Gumbel
     draws, so results are bit-identical to the Pallas kernel."""
     P, n, k = row_feat_sel.shape
@@ -208,7 +215,7 @@ def col_sample_xla(seed, row_feat_sel, col_feat, col_bias):
     pad = nb * _ROW_BLOCK - n
     rf = jnp.pad(row_feat_sel, ((0, 0), (0, pad), (0, 0)))
     rf = rf.reshape(P, nb, _ROW_BLOCK, k)
-    pair_ids = jnp.arange(P, dtype=jnp.int32)
+    pair_ids = jnp.arange(P, dtype=jnp.int32) + jnp.asarray(pair_offset, jnp.int32)
     block_ids = jnp.arange(nb, dtype=jnp.int32)
 
     def one_block(r, rf_blk):

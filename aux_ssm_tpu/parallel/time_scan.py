@@ -21,7 +21,7 @@ cases the cross-block combine is op(prefix, local).
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 TIME = "time"
 
