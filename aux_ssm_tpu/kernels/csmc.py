@@ -137,6 +137,66 @@ def _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
     return w_T, xs, log_ws, ancestors
 
 
+def _use_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt):
+    """Lane-callable fused sweep (`ops/pallas/csmc_fwd.lane_forward_scan`):
+    bootstrap/state-dependent proposals for scalar-state models that expose
+    the (1, N) lane-row callables `lane_propagate` / `lane_logw` (and
+    `lane_logpdf` for PGAS)."""
+    import os
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")
+    if flag == "0" or force == "0" or constrain is not None:
+        return None
+    if x_star.shape[-1] != 1:
+        return None
+    if not (hasattr(Mt, "lane_propagate") and hasattr(Gt, "lane_logw")
+            and hasattr(Mt, "sample_from_noise")
+            and resample is resampling_mod.multinomial):
+        return None
+    if ancestor_Pt is not None and not hasattr(ancestor_Pt, "lane_logpdf"):
+        return None
+    if force == "xla":
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return None
+    return "pallas" if platform in ("tpu", "axon") else None
+
+
+def _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
+                       on_tpu=True):
+    """Forward sweep with the model's lane callables traced into one Pallas
+    launch; same key stream as the generic scan."""
+    from ..ops.pallas import csmc_fwd
+
+    T = x_star.shape[0]
+    key_init, key_res, key_prop, key_anc = jax.random.split(key, 4)
+
+    x0 = M0.sample(key_init, N)
+    x0 = x0.at[0].set(x_star[0])
+    log_w0 = G0(x0)
+    w0 = normalize(log_w0)
+
+    res_u = jax.random.uniform(key_res, (T - 1, N), dtype=x0.dtype)
+    eps = jax.random.normal(key_prop, (T - 1,) + x0.shape, dtype=x0.dtype)
+    anc_u = jax.random.uniform(key_anc, (T - 1,), dtype=x0.dtype)
+
+    pgas_fn = ancestor_Pt.lane_logpdf if ancestor_Pt is not None else None
+    pt_params = ancestor_Pt.params if ancestor_Pt is not None else None
+
+    run = csmc_fwd.lane_forward_scan if on_tpu else csmc_fwd.lane_scan_xla
+    xs_r, log_ws_r, ancestors = run(
+        Mt.lane_propagate, Gt.lane_logw, pgas_fn,
+        Mt.params, Gt.params, pt_params,
+        eps[:, :, 0], res_u, anc_u, x_star[1:, 0], x0[:, 0], w0)
+
+    xs = jnp.concatenate([x0[None], xs_r[..., None]], axis=0)
+    log_ws = jnp.concatenate([log_w0[None], log_ws_r], axis=0)
+    w_T = normalize(log_ws_r[-1])
+    return w_T, xs, log_ws, ancestors
+
+
 def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
                  ancestor_Pt=None, unroll=4):
     """Conditional SMC forward sweep; particle 0 is pinned to `x_star`.
@@ -167,6 +227,11 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
     if fused_mode:
         return _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
                                    on_tpu=fused_mode == "pallas")
+    lane_mode = _use_lane_forward(x_star, Mt, Gt, resample, constrain,
+                                  ancestor_Pt)
+    if lane_mode:
+        return _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
+                                  on_tpu=lane_mode == "pallas")
 
     if constrain is None:
         constrain = lambda z: z

@@ -75,6 +75,16 @@ def get_feynman_kac(ys, **params):
             mu = drift(x_prev, p["tau0"], p["tau1"], p["tau2"])
             return diag_gaussian_pair_factors(mu, x_next, p["sig_x"])
 
+        # (1, N) lane-row callables: the bootstrap forward sweep runs the
+        # whole model inside one Pallas launch (`csmc_fwd.lane_forward_scan`).
+        def lane_propagate(self, eps, x_prev, _p):
+            return drift(x_prev, p["tau0"], p["tau1"], p["tau2"]) \
+                + p["sig_x"] * eps
+
+        def lane_logpdf(self, x_next, x_prev, _p):
+            mu = drift(x_prev, p["tau0"], p["tau1"], p["tau2"])
+            return norm.logpdf(x_next, mu, p["sig_x"])
+
     @chex.dataclass
     class G0(UnivariatePotential):
         def __call__(self, x):
@@ -86,6 +96,9 @@ def get_feynman_kac(ys, **params):
 
         def __call__(self, x_next, _x_t, y):
             return jnp.sum(norm.logpdf(y, x_next, p["sig_y"]), -1)
+
+        def lane_logw(self, x_next, _x_prev, y):
+            return norm.logpdf(y, x_next, p["sig_y"])
 
     return M0(), G0(), Mt(params=jnp.zeros((T - 1, 0))), Gt(params=ys[1:])
 

@@ -288,3 +288,211 @@ def backward_factor_scan_xla(rf, cf, rb, log_ws, us, b_T):
 
     _, picked = jax.lax.scan(body, b_T, (rf, cf, rb, log_ws, us), reverse=True)
     return picked
+
+
+# --------------------------------------------------------------------------
+# Lane-callable forward sweep (bootstrap / state-dependent proposals, d = 1)
+# --------------------------------------------------------------------------
+#
+# When proposals DO depend on the previous state (bootstrap particle
+# filters), particle values follow the genealogy and cannot be precomputed.
+# For scalar-state models whose dynamics/potentials are elementwise jnp code
+# (every 1-D model in this repo), the model itself can run inside the
+# kernel: particles ride the lanes as (1, N) rows and the model's
+# `lane_propagate` / `lane_logw` / `lane_logpdf` callables are traced into
+# the Mosaic kernel (exp/log/mul — all VPU ops). Per-step params arrive as
+# (T-1, 1, N) broadcast rows; zero-size param leaves are replaced by ()
+# zeros (models with lane callables ignore them by construction).
+
+def _flatten_params(params, Tm1, N):
+    leaves, treedef = jax.tree.flatten(params)
+    arrays, mask = [], []
+    for z in leaves:
+        if z.size == 0:
+            mask.append(False)
+            continue
+        mask.append(True)
+        row = z.reshape(Tm1, -1)[:, :1]      # d = 1: one value per step
+        arrays.append(jnp.broadcast_to(row[:, None, :], (Tm1, 1, N))
+                      .astype(jnp.float32))
+    return arrays, (treedef, mask)
+
+
+def _unflatten_params(refs_or_rows, spec):
+    treedef, mask = spec
+    it = iter(refs_or_rows)
+    leaves = [next(it) if m else jnp.zeros(()) for m in mask]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
+                     spec_p, n_m, n_g, n_p, N, pgas):
+    (eps_ref, u_ref, ua_ref, xstar_ref, x0_ref, w0_ref) = refs[:6]
+    pr = refs[6:6 + n_m + n_g + n_p]
+    logw_ref, anc_ref, xs_ref = refs[6 + n_m + n_g + n_p:
+                                     9 + n_m + n_g + n_p]
+    x_scr, w_scr = refs[9 + n_m + n_g + n_p:]
+
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+        w_scr[:] = w0_ref[:]
+
+    x_prev = x_scr[:]                   # (1, N)
+    w = w_scr[:]
+    u = u_ref[0]
+    eps = eps_ref[0]
+    x_star = xstar_ref[0]
+
+    mt_p = _unflatten_params([r[0] for r in pr[:n_m]], spec_m)
+    gt_p = _unflatten_params([r[0] for r in pr[n_m:n_m + n_g]], spec_g)
+    pt_p = _unflatten_params([r[0] for r in pr[n_m + n_g:]], spec_p)
+
+    io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    LT = (io0 <= io1).astype(f32)
+
+    cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    cw_col = _col_from_row(cw, N)
+    lt_mask = (jnp.broadcast_to(cw_col, (N, N))
+               < jnp.broadcast_to(u, (N, N))).astype(f32)
+    anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    anc = jnp.minimum(anc, f32(N - 1))
+
+    if pgas:
+        scoreA = jnp.log(jnp.maximum(w, 1e-37)) + pgas_logpdf(x_star, x_prev, pt_p)
+        mA = jnp.max(scoreA, axis=1, keepdims=True)
+        wA = jnp.exp(scoreA - mA)
+        cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        ua = _slice(ua_ref[0], 0, 1, axis=1)
+        thresh = ua * _slice(cwA, N - 1, N, axis=1)
+        a0 = jnp.sum((cwA < jnp.broadcast_to(thresh, (1, N))).astype(f32),
+                     axis=1, keepdims=True)
+        a0 = jnp.minimum(a0, f32(N - 1))
+        anc = jnp.where(lane == 0, jnp.broadcast_to(a0, (1, N)), anc)
+    else:
+        anc = jnp.where(lane == 0, f32(0.0), anc)
+
+    ancb = jnp.broadcast_to(anc, (N, N))
+    O = (io0.astype(f32) == ancb).astype(f32)
+    x_res = jax.lax.dot_general(x_prev, O, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # (1, N)
+
+    x_t = propagate(eps, x_res, mt_p)
+    x_t = jnp.where(lane == 0, x_star, x_t)
+    log_w = logw(x_t, x_res, gt_p)
+
+    logw_ref[0] = log_w
+    anc_ref[0] = anc
+    xs_ref[0] = x_t
+
+    mW = jnp.max(log_w, axis=1, keepdims=True)
+    wn = jnp.exp(log_w - mW)
+    w_scr[:] = wn / jnp.sum(wn, axis=1, keepdims=True)
+    x_scr[:] = x_t
+
+
+def lane_forward_scan(propagate, logw, pgas_logpdf, mt_params, gt_params,
+                      pt_params, eps, res_u, anc_u, x_star, x0, w0,
+                      interpret=False):
+    """Bootstrap cSMC forward sweep with in-kernel model callables (d = 1).
+
+    propagate(eps, x_prev, mt_params) / logw(x_next, x_prev, gt_params) /
+    pgas_logpdf(x_star, x_prev, pt_params) operate on (1, N) lane rows.
+    eps, res_u : (T-1, N); anc_u, x_star : (T-1,); x0, w0 : (N,).
+    Returns (xs (T-1, N), log_ws (T-1, N), ancestors (T-1, N) int32).
+    """
+    Tm1, N = res_u.shape
+    f32 = jnp.float32
+    pgas = pgas_logpdf is not None
+
+    m_arr, spec_m = _flatten_params(mt_params, Tm1, N)
+    g_arr, spec_g = _flatten_params(gt_params, Tm1, N)
+    p_arr, spec_p = _flatten_params(pt_params if pgas else None, Tm1, N)
+
+    row = lambda z: z[:, None, :].astype(f32)
+    ua = jnp.broadcast_to(anc_u[:, None, None], (Tm1, 1, N)).astype(f32)
+    xstar = jnp.broadcast_to(x_star[:, None, None], (Tm1, 1, N)).astype(f32)
+
+    row_spec = pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    init_spec = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    n_m, n_g, n_p = len(m_arr), len(g_arr), len(p_arr)
+    kernel = functools.partial(
+        _lane_fwd_kernel, propagate=propagate, logw=logw,
+        pgas_logpdf=pgas_logpdf, spec_m=spec_m, spec_g=spec_g, spec_p=spec_p,
+        n_m=n_m, n_g=n_g, n_p=n_p, N=N, pgas=pgas)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Tm1,),
+        in_specs=[row_spec] * 4 + [init_spec, init_spec]
+                 + [row_spec] * (n_m + n_g + n_p),
+        out_specs=(row_spec, row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+                   jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+                   jax.ShapeDtypeStruct((Tm1, 1, N), f32)),
+        scratch_shapes=[pltpu.VMEM((1, N), f32), pltpu.VMEM((1, N), f32)],
+        interpret=interpret,
+    )(row(eps), row(res_u), ua, xstar, x0[None].astype(f32),
+      w0[None].astype(f32), *m_arr, *g_arr, *p_arr)
+    log_ws, anc, xs_out = outs
+    return (xs_out[:, 0], log_ws[:, 0], anc[:, 0].astype(jnp.int32))
+
+
+def lane_scan_xla(propagate, logw, pgas_logpdf, mt_params, gt_params,
+                  pt_params, eps, res_u, anc_u, x_star, x0, w0):
+    """XLA reference/fallback of `lane_forward_scan` (same algebra, same
+    (1, N) lane-row calling convention for the model callables)."""
+    Tm1, N = res_u.shape
+    pgas = pgas_logpdf is not None
+    m_arr, spec_m = _flatten_params(mt_params, Tm1, N)
+    g_arr, spec_g = _flatten_params(gt_params, Tm1, N)
+    p_arr, spec_p = _flatten_params(pt_params if pgas else None, Tm1, N)
+
+    def body(carry, inp):
+        x_prev, w = carry
+        eps_t, u_t, ua_t, xst, rows = inp
+        m_rows = rows[:len(m_arr)]
+        g_rows = rows[len(m_arr):len(m_arr) + len(g_arr)]
+        p_rows = rows[len(m_arr) + len(g_arr):]
+        mt_p = _unflatten_params(list(m_rows), spec_m)
+        gt_p = _unflatten_params(list(g_rows), spec_g)
+        pt_p = _unflatten_params(list(p_rows), spec_p)
+
+        cw = jnp.cumsum(w[0])
+        anc = jnp.clip(jnp.searchsorted(cw, u_t[0]), 0, N - 1).astype(jnp.int32)
+        if pgas:
+            scoreA = jnp.log(jnp.maximum(w, 1e-37)) + pgas_logpdf(xst, x_prev, pt_p)
+            wA = jnp.exp(scoreA - jnp.max(scoreA))[0]
+            cwA = jnp.cumsum(wA)
+            a0 = jnp.clip(jnp.sum(cwA < ua_t[0, 0] * cwA[-1]), 0, N - 1)
+            anc = anc.at[0].set(a0.astype(jnp.int32))
+        else:
+            anc = anc.at[0].set(0)
+
+        x_res = x_prev[:, anc]
+        x_t = propagate(eps_t, x_res, mt_p)
+        x_t = x_t.at[0, 0].set(xst[0, 0])
+        log_w = logw(x_t, x_res, gt_p)
+        wn = jnp.exp(log_w - jnp.max(log_w))
+        wn = wn / jnp.sum(wn)
+        return (x_t, wn), (x_t[0], log_w[0], anc.astype(jnp.int32))
+
+    row = lambda z: z[:, None, :]
+    ua = jnp.broadcast_to(anc_u[:, None, None], (Tm1, 1, N))
+    xstar = jnp.broadcast_to(x_star[:, None, None], (Tm1, 1, N))
+    rows_in = tuple(m_arr) + tuple(g_arr) + tuple(p_arr)
+    (_, _), (xs, log_ws, anc) = jax.lax.scan(
+        body, (x0[None], w0[None]),
+        (row(eps), row(res_u), ua, xstar, rows_in))
+    return xs, log_ws, anc

@@ -29,8 +29,27 @@ TIME = "time"
 def sharded_associative_scan(mesh, operator, elems, reverse=False, axis=TIME):
     """Inclusive associative scan of `elems` (leading axis T, sharded over
     mesh axis `axis`). Matches `jax.lax.associative_scan(operator, elems,
-    reverse=...)` up to floating-point reassociation."""
+    reverse=...)` up to floating-point reassociation.
+
+    T need not divide the shard count: the tail (head, for reverse scans) is
+    padded with copies of the edge element — an inclusive scan's first T
+    forward results (last T reverse results) never read past-the-end
+    elements, and edge copies keep every lane finite for any operator."""
     n_shards = mesh.shape[axis]
+    T = jax.tree.leaves(elems)[0].shape[0]
+    pad = (-T) % n_shards
+    if pad:
+        def _pad(z):
+            edge = z[-1:] if not reverse else z[:1]
+            reps = jnp.repeat(edge, pad, axis=0)
+            parts = [z, reps] if not reverse else [reps, z]
+            return jnp.concatenate(parts, axis=0)
+
+        out = sharded_associative_scan(mesh, operator,
+                                       jax.tree.map(_pad, elems),
+                                       reverse=reverse, axis=axis)
+        crop = (lambda z: z[:T]) if not reverse else (lambda z: z[pad:])
+        return jax.tree.map(crop, out)
 
     def body(local):
         scanned = jax.lax.associative_scan(operator, local, reverse=reverse)

@@ -200,3 +200,71 @@ def test_fused_backward_matches_generic():
     assert agree.mean() > 0.9, agree.mean()
     if agree.all():
         np.testing.assert_allclose(np.asarray(traj_g), np.asarray(traj_f))
+
+
+# --------------------------------------------------------------------------
+# Lane-callable (bootstrap) forward sweep
+# --------------------------------------------------------------------------
+
+def _tl_setup(T=24, N=32, seed=0):
+    from aux_ssm_tpu.models import theta_logistic as tl
+    _, ys = tl.get_data(jax.random.key(seed), T)
+    M0, G0, Mt, Gt = tl.get_feynman_kac(ys)
+    return ys, M0, G0, Mt, Gt
+
+
+@pytest.mark.parametrize("pgas", [False, True])
+def test_lane_scan_matches_generic_forward(pgas):
+    """Bootstrap theta-logistic: lane (XLA) path vs generic scan, same keys."""
+    from aux_ssm_tpu.ops import resampling as resampling_mod
+    T, N = 24, 32
+    ys, M0, G0, Mt, Gt = _tl_setup(T, N)
+    key = jax.random.key(5)
+    x_star = jnp.asarray(np.linspace(0.5, 1.5, T))[:, None].astype(jnp.float32)
+
+    kw = dict(ancestor_Pt=Mt if pgas else None)
+    gen = csmc_mod.forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                resampling_mod.multinomial, **kw)
+    os.environ["AUX_SSM_FUSED_CSMC"] = "xla"
+    try:
+        lane = csmc_mod.forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                     resampling_mod.multinomial, **kw)
+    finally:
+        os.environ["AUX_SSM_FUSED_CSMC"] = "0"
+
+    w_T_g, xs_g, lw_g, anc_g = gen
+    w_T_l, xs_l, lw_l, anc_l = lane
+    agree = np.asarray(anc_g) == np.asarray(anc_l)
+    assert agree.mean() > 0.99, agree.mean()
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(xs_g), np.asarray(xs_l),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lw_g), np.asarray(lw_l),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pgas", [False, True])
+def test_lane_pallas_matches_xla(pgas):
+    from aux_ssm_tpu.ops.pallas.csmc_fwd import lane_forward_scan, lane_scan_xla
+    from aux_ssm_tpu.models import theta_logistic as tl
+    T, N = 20, 24
+    ys, M0, G0, Mt, Gt = _tl_setup(T, N, seed=2)
+    rng = np.random.default_rng(3)
+    eps = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    res_u = jnp.asarray(rng.uniform(size=(T - 1, N)), jnp.float32)
+    anc_u = jnp.asarray(rng.uniform(size=(T - 1,)), jnp.float32)
+    x_star = jnp.asarray(rng.standard_normal(T - 1), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    w0 = jnp.full((N,), 1.0 / N, jnp.float32)
+
+    pg = Mt.lane_logpdf if pgas else None
+    pt_p = Mt.params if pgas else None
+    args = (Mt.lane_propagate, Gt.lane_logw, pg, Mt.params, Gt.params, pt_p,
+            eps, res_u, anc_u, x_star, x0, w0)
+    xs_p, lw_p, anc_p = lane_forward_scan(*args, interpret=True)
+    xs_x, lw_x, anc_x = lane_scan_xla(*args)
+    agree = np.asarray(anc_p) == np.asarray(anc_x)
+    assert agree.mean() > 0.99, agree.mean()
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_x),
+                                   rtol=1e-5, atol=1e-5)

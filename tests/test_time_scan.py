@@ -22,6 +22,13 @@ def test_scalar_cumsum(tmesh):
     np.testing.assert_allclose(np.asarray(got), np.cumsum(np.arange(1.0, 65.0)))
 
 
+def test_scalar_reverse_cumsum_odd_T(tmesh):
+    x = jnp.arange(1.0, 22.0)   # 21 elements over 8 shards
+    got = sharded_associative_scan(tmesh, jnp.add, x, reverse=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.cumsum(np.asarray(x)[::-1])[::-1])
+
+
 def test_scalar_reverse_cumsum(tmesh):
     x = jnp.arange(1.0, 65.0)
     got = sharded_associative_scan(tmesh, jnp.add, x, reverse=True)
@@ -44,9 +51,7 @@ def test_filtering_elements(tmesh):
     m0u, P0u, _ = F.kalman_update(ysj[0], m0, P0, Hs[0], cs[0], Rs[0])
     elems = F._make_associative_elements(Fs, Qs, bs, Hs[1:], Rs[1:], cs[1:],
                                          ysj[1:], m0u, P0u)
-    # 63 elements -> pad? shard_map needs divisibility: use 64-element variant
-    elems = jax.tree.map(lambda z: jnp.concatenate([z, z[-1:]], 0), elems)
-
+    # 63 elements: T not divisible by the 8 shards exercises pad-and-crop.
     want = jax.lax.associative_scan(F.filtering_operator, elems)
     got = sharded_filtering_scan(tmesh, elems)
     for w, g, n in zip(want, got, "AbCeJ"):
