@@ -133,6 +133,8 @@ def main(argv=None):
     p.add_argument("--T", type=int, default=2)
     p.add_argument("--y", type=float, default=5.0)
     p.add_argument("--grid-size", type=int, default=10)
+    p.add_argument("--figures-dir", type=str, default=None,
+                   help="write heatmap figure + summary CSV here")
     p.set_defaults(n_chains=8)
     args = p.parse_args(argv)
     cli.apply_backend(args)
@@ -148,6 +150,10 @@ def main(argv=None):
         import pandas as pd
         pd.DataFrame(rows).to_csv(args.out, index=False)
         print(f"saved grid results to {args.out}")
+    if args.figures_dir:
+        from .figures import rare_event_heatmaps
+        rare_event_heatmaps(rows, args.figures_dir)
+        print(f"wrote heatmaps to {args.figures_dir}")
     return rows
 
 

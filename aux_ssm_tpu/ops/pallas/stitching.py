@@ -48,15 +48,33 @@ _ROW_BLOCK = 128
 MAX_FUSED_N = 16384
 
 
-def _row_lse_kernel(rf_ref, cf_ref, cb_ref, out_ref):
+def _pair_scores(rf, cfT, cb, n_rows, N, k):
+    """Scores s[i, j] = rf_i . cf_j + cb_j as k broadcast outer products.
+
+    The contraction depth k is tiny (state dim + 1-ish), so an MXU
+    dot_general would run at ~k/128 utilisation; k explicit
+    (rows, 1) x (1, N) broadcast products keep the whole thing on the VPU.
+    `cfT` is the (k, N) transposed column-feature block (transposed on the
+    host — free — because Mosaic cannot transpose the lane dim in-kernel).
+    """
+    s = jnp.broadcast_to(cb, (n_rows, N))
+    for kk in range(k):
+        r_col = jnp.broadcast_to(_kslice(rf, kk, axis=1), (n_rows, N))
+        c_row = jnp.broadcast_to(_kslice(cfT, kk, axis=0), (n_rows, N))
+        s = s + r_col * c_row
+    return s
+
+
+def _kslice(z, i, axis):
+    return jax.lax.slice_in_dim(z, i, i + 1, axis=axis)
+
+
+def _row_lse_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k):
     """lse[i] = logsumexp_j(rf_i . cf_j + cb_j) for one 128-row block."""
     rf = rf_ref[0]          # (ROW_BLOCK, k)
-    cf = cf_ref[0]          # (N, k)
+    cfT = cfT_ref[0]        # (k, N)
     cb = cb_ref[0]          # (1, N)
-    s = jax.lax.dot_general(
-        rf, cf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + cb                  # (ROW_BLOCK, N)
+    s = _pair_scores(rf, cfT, cb, _ROW_BLOCK, cfT.shape[1], k)
     m = jnp.max(s, axis=1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True))
     out_ref[0, 0] = lse[:, 0].reshape(1, _ROW_BLOCK)
@@ -73,12 +91,12 @@ def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
     # block dims to be (divisible by 8, divisible by 128) or equal to the
     # array dims — (1, ROW_BLOCK) blocks on a (P, N) array are rejected.
     out = pl.pallas_call(
-        _row_lse_kernel,
+        functools.partial(_row_lse_kernel, k=k),
         grid=(P, rb_blocks),
         in_specs=[
             pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, k), lambda p, r: (p, 0, 0),
+            pl.BlockSpec((1, k, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -87,7 +105,7 @@ def row_lse(row_feat, col_feat, col_bias, *, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, rb_blocks, 1, _ROW_BLOCK), jnp.float32),
         interpret=interpret,
-    )(row_feat, col_feat, col_bias[:, None, :])
+    )(row_feat, jnp.swapaxes(col_feat, 1, 2), col_bias[:, None, :])
     return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :N]
 
 
@@ -132,7 +150,7 @@ def _gumbel_argmax_scores(s, seed, pair, block):
     return jnp.min(jnp.where(score >= m, col_ids, n_cols), axis=1, keepdims=True)
 
 
-def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
+def _col_sample_kernel(seed_ref, rf_ref, cfT_ref, cb_ref, out_ref, *, k):
     """Gumbel-argmax categorical over columns for one 128-row block of
     sampled rows; counters keyed by (pair, block) keep draws independent.
     `seed_ref` holds (seed, pair_offset): the offset shifts the pair counter
@@ -142,12 +160,9 @@ def _col_sample_kernel(seed_ref, rf_ref, cf_ref, cb_ref, out_ref):
     r = pl.program_id(1)
 
     rf = rf_ref[0]          # (ROW_BLOCK, k)
-    cf = cf_ref[0]          # (N, k)
+    cfT = cfT_ref[0]        # (k, N)
     cb = cb_ref[0]          # (1, N)
-    s = jax.lax.dot_general(
-        rf, cf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + cb                  # (ROW_BLOCK, N)
+    s = _pair_scores(rf, cfT, cb, _ROW_BLOCK, cfT.shape[1], k)
 
     idx = _gumbel_argmax_scores(s, seed_ref[0], p, r)
     out_ref[0, 0] = idx[:, 0].reshape(1, -1)
@@ -165,13 +180,13 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, pair_offset=0,
     N = col_feat.shape[1]
     rb_blocks = pl.cdiv(n, _ROW_BLOCK)
     out = pl.pallas_call(
-        _col_sample_kernel,
+        functools.partial(_col_sample_kernel, k=k),
         grid=(P, rb_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, k), lambda p, r: (p, 0, 0),
+            pl.BlockSpec((1, k, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -182,7 +197,7 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, pair_offset=0,
         interpret=interpret,
     )(jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
                  jnp.asarray(pair_offset, jnp.int32).reshape(())]),
-      row_feat_sel, col_feat, col_bias[:, None, :])
+      row_feat_sel, jnp.swapaxes(col_feat, 1, 2), col_bias[:, None, :])
     return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :n]
 
 
