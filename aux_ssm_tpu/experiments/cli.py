@@ -37,6 +37,8 @@ def base_parser(description):
                    help="checkpoint period in iterations (0 = phase ends only)")
     p.add_argument("--n-chains", type=int, default=1,
                    help="independent chains, sharded over the mesh 'chains' axis")
+    p.add_argument("--mesh-chains", type=int, default=0,
+                   help="devices on the 'chains' mesh axis (0 = no mesh)")
     return p
 
 
@@ -45,9 +47,13 @@ def experiment_config(args, **overrides):
     source of truth the drivers consume (config.py and this module are two
     views of the same axes)."""
     from ..config import ExperimentConfig, BackendConfig, SamplerConfig
+    from ..config import MeshConfig
+    mesh_n = getattr(args, "mesh_chains", 0)
     kw = dict(
         backend=BackendConfig(precision=args.precision, platform=args.platform,
                               debug=args.debug, debug_nans=args.debug_nans),
+        mesh=MeshConfig(axis_names=("chains",),
+                        axis_sizes=(mesh_n,) if mesh_n else None),
         sampler=SamplerConfig(style=args.style, parallel=args.parallel,
                               gradient=args.gradient, backward=args.backward,
                               n_particles=args.n_particles,

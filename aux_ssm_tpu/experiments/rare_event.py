@@ -94,6 +94,17 @@ def run_grid(args):
         delta0 = args.delta_init * jnp.ones((M,))
     state0 = GridState(x=x0, updated=upd0, rho=RHO, r2=R2)
 
+    # Optional chain-axis meshing: the whole flat cell-chain batch is placed
+    # on the 'chains' mesh axis; GSPMD then executes the one-program sweep
+    # data-parallel across devices.
+    mesh_n = getattr(args, "mesh_chains", 0)
+    if mesh_n and M % mesh_n == 0:
+        from ..config import MeshConfig
+        from ..parallel.chains import shard_chains
+        mesh = MeshConfig(axis_names=("chains",), axis_sizes=(mesh_n,)).build()
+        state0 = shard_chains(mesh, state0)
+        delta0 = shard_chains(mesh, delta0)
+
     kernel = make_batched_kernel(args.style, args)
     cfg = cli.run_config(args, verbose=False)
     res = run_chain(run_key, kernel, state0, cfg, collect_samples=True,

@@ -59,7 +59,7 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
             ancestor_Pt=Pt if ancestor_sampling else None,
         )
         if backward:
-            bwd_mode = _use_fused_backward(Pt)
+            bwd_mode = _use_fused_backward(Pt, N)
             if bwd_mode:
                 x, picked = _fused_backward_pass(key_bwd, Pt, w_T, xs, log_ws,
                                                  on_tpu=bwd_mode == "pallas")
@@ -76,7 +76,10 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
     return init, kernel
 
 
-def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt):
+_FUSED_MAX_N = 1024
+
+
+def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt, N=0):
     """The fused Pallas forward sweep applies when proposals are independent
     of the previous state (particle values are then resampling-invariant)
     and the step weight pair-factorises; PGAS additionally requires the
@@ -95,6 +98,9 @@ def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt):
         return None
     if force == "xla":
         return "xla"
+    if N > _FUSED_MAX_N:
+        # The kernel's (N, N) one-hot/mask intermediates outgrow VMEM.
+        return None
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
@@ -137,7 +143,7 @@ def _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
     return w_T, xs, log_ws, ancestors
 
 
-def _use_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt):
+def _use_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt, N=0):
     """Lane-callable fused sweep (`ops/pallas/csmc_fwd.lane_forward_scan`):
     bootstrap/state-dependent proposals for scalar-state models that expose
     the (1, N) lane-row callables `lane_propagate` / `lane_logw` (and
@@ -147,7 +153,7 @@ def _use_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt):
     force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")
     if flag == "0" or force == "0" or constrain is not None:
         return None
-    if x_star.shape[-1] != 1:
+    if x_star.shape[-1] != 1 or N > _FUSED_MAX_N:
         return None
     if not (hasattr(Mt, "lane_propagate") and hasattr(Gt, "lane_logw")
             and hasattr(Mt, "sample_from_noise")
@@ -223,12 +229,12 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
         ``Mt.sample`` when absent);
       * PGAS ancestor draws: (T-1,) uniforms -> inverse CDF.
     """
-    fused_mode = _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt)
+    fused_mode = _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt, N)
     if fused_mode:
         return _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
                                    on_tpu=fused_mode == "pallas")
     lane_mode = _use_lane_forward(x_star, Mt, Gt, resample, constrain,
-                                  ancestor_Pt)
+                                  ancestor_Pt, N)
     if lane_mode:
         return _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
                                   on_tpu=lane_mode == "pallas")
@@ -323,7 +329,7 @@ def backward_scanning_pass(key, w_T, xs, ancestors):
     return traj, picked
 
 
-def _use_fused_backward(Pt):
+def _use_fused_backward(Pt, N=0):
     """Fused Whiteley backward sampling needs pair-factorisable true-model
     dynamics; same env gating as the forward ('0' off, 'xla' force algebra)."""
     import os
@@ -333,6 +339,8 @@ def _use_fused_backward(Pt):
         return None
     if force == "xla":
         return "xla"
+    if N > _FUSED_MAX_N:   # (N, N) cumsum/count masks outgrow VMEM
+        return None
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover

@@ -29,10 +29,16 @@ def check(name, got, want, atol, rtol, exact=False):
         print(f"{name:44s} mismatch_frac={err:.2e}  "
               f"{'PASS' if ok else 'FAIL'} (exact)", flush=True)
     else:
-        abs_err = float(np.max(np.abs(got - want)))
-        rel = float(np.max(np.abs(got - want) / (np.abs(want) + 1e-6)))
-        ok = abs_err <= atol or rel <= rtol
-        print(f"{name:44s} abs={abs_err:.2e} rel={rel:.2e}  "
+        err = np.abs(got - want)
+        rel_e = err / (np.abs(want) + 1e-6)
+        # Elementwise: every element must be within atol OR rtol (the max
+        # abs and max rel errors generally occur at different elements —
+        # a global-max OR would reject arrays where each element is fine).
+        ok = bool(np.all((err <= atol) | (rel_e <= rtol)))
+        bad = (err > atol) & (rel_e > rtol)
+        n_bad = int(bad.sum())
+        abs_err, rel = float(err.max()), float(rel_e.max())
+        print(f"{name:44s} abs={abs_err:.2e} rel={rel:.2e} bad={n_bad}  "
               f"{'PASS' if ok else 'FAIL'} (atol={atol:g} rtol={rtol:g})",
               flush=True)
     if not ok:

@@ -13,8 +13,10 @@ def _args(style, **over):
     p.add_argument("--T", type=int, default=2)
     p.add_argument("--y", type=float, default=3.0)
     p.add_argument("--grid-size", type=int, default=2)
-    p.set_defaults(n_chains=3, style=style, n_samples=1500, burnin=400,
-                   verbose=False, n_particles=16, **over)
+    defaults = dict(n_chains=3, style=style, n_samples=1500, burnin=400,
+                    verbose=False, n_particles=16)
+    defaults.update(over)
+    p.set_defaults(**defaults)
     return p.parse_args([])
 
 
@@ -39,3 +41,14 @@ def test_grid_driver_adapts_per_cell():
     assert np.unique(np.round(deltas, 6)).size > 1
     for r in rows:
         assert 0.3 < r["acc"] < 0.7, r
+
+
+def test_grid_driver_meshed_chains():
+    """--mesh-chains places the flat cell-chain batch on the chains mesh
+    axis; results must still recover the closed form (8-dev CPU mesh)."""
+    args = _args("kalman-1", n_chains=4, n_samples=1200)
+    args.mesh_chains = 8
+    rows, res = driver.run_grid(args)
+    assert len(rows) == 4
+    for r in rows:
+        assert r["err_mean_T"] < 30.0 / max(r["ess_T"], 1.0), r
