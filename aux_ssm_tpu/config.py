@@ -22,10 +22,19 @@ class BackendConfig:
     platform: Optional[str] = None     # None = default; 'cpu' | 'tpu'
     debug: bool = False                # disable jit
     debug_nans: bool = False
+    # TPU matmuls default to bf16 inputs, which degrades the XLA-path
+    # filter algebra to ~1e-3 relative error (measured: the Pallas lane
+    # kernels, which never touch the MXU for the d x d solves, sit at
+    # ~2e-7). 'highest' restores true-f32 matmuls; the hot paths are
+    # Pallas so the throughput cost is marginal.
+    matmul_precision: str = "highest"  # 'default' | 'high' | 'highest'
 
     def apply(self):
         import jax
         jax.config.update("jax_enable_x64", self.precision == "double")
+        if self.matmul_precision != "default":
+            jax.config.update("jax_default_matmul_precision",
+                              self.matmul_precision)
         if self.platform:
             jax.config.update("jax_platforms", self.platform)
         if self.debug:

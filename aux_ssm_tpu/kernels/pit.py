@@ -177,6 +177,22 @@ def _fused_use_pallas(N):
     return platform in ("tpu", "axon")
 
 
+# Below this N the two-pass kernels' fixed costs beat the blocked path's
+# extra block-mass traffic; above it the single score pass wins (the second
+# full N^2 sweep of `col_sample` is replaced by an O(nb + 128) draw).
+_BLOCKED_MIN_N = 2048
+
+
+def _use_blocked_stitch(N):
+    """Single-pass block-mass stitching: one N^2 score pass total.
+    `AUX_SSM_STITCH`: 'blocked' forces it, '2pass' disables, 'auto' (default)
+    switches on for large multiples of 128."""
+    mode = os.environ.get("AUX_SSM_STITCH", "auto")
+    if mode == "2pass" or N % 128 != 0 or N > _stitch.MAX_BLOCKED_N:
+        return False
+    return mode == "blocked" or N >= _BLOCKED_MIN_N
+
+
 def _rows_from_uniforms(logits, u):
     """n iid categorical draws over N from unnormalised log-probs."""
     m = jnp.max(logits)
@@ -483,8 +499,14 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     rb = rb + lw_l
     cb = cb + lw_r
 
-    lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
-           else _stitch.row_lse_xla(rf, cf, cb))        # (n_act, N)
+    blocked = _use_blocked_stitch(N) and not last
+    if blocked:
+        Lb = (_stitch.block_masses(rf, cf, cb) if use_pallas
+              else _stitch.block_masses_xla(rf, cf, cb))   # (n_act, N, nb)
+        lse = logsumexp(Lb, axis=-1)
+    else:
+        lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
+               else _stitch.row_lse_xla(rf, cf, cb))       # (n_act, N)
     row_logits = rb + lse
     key_rows = jax.vmap(lambda k: jax.random.fold_in(k, 0))(node_keys)
 
@@ -505,9 +527,14 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     if seed is None:
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    cols = (_stitch.col_sample(seed, rf_sel, cf, cb, pair_offset=pair_offset)
-            if use_pallas
-            else _stitch.col_sample_xla(seed, rf_sel, cf, cb, pair_offset))
+    if blocked:
+        cols = _stitch.blocked_col_sample(seed, rows, Lb, rf_sel, cf, cb,
+                                          pair_offset=pair_offset)
+    else:
+        cols = (_stitch.col_sample(seed, rf_sel, cf, cb,
+                                   pair_offset=pair_offset)
+                if use_pallas
+                else _stitch.col_sample_xla(seed, rf_sel, cf, cb, pair_offset))
     cols = cols.at[:, 0].set(0)
     return rows, cols
 

@@ -46,6 +46,10 @@ _ROW_BLOCK = 128
 # Above this N the (ROW_BLOCK, N) score block exceeds the VMEM budget;
 # callers should fall back to the XLA blocked path.
 MAX_FUSED_N = 16384
+# The single-pass block-mass kernel holds two (ROW_BLOCK, N) f32 buffers
+# (scores + exponentials) plus the (N, nb) indicator in VMEM.
+MAX_BLOCKED_N = 8192
+_COL_BLOCK = 128
 
 
 def _pair_scores(rf, cfT, cb, n_rows, N, k):
@@ -199,6 +203,138 @@ def col_sample(seed, row_feat_sel, col_feat, col_bias, *, pair_offset=0,
                  jnp.asarray(pair_offset, jnp.int32).reshape(())]),
       row_feat_sel, jnp.swapaxes(col_feat, 1, 2), col_bias[:, None, :])
     return out.reshape(P, rb_blocks * _ROW_BLOCK)[:, :n]
+
+
+# --------------------------------------------------------------------------
+# Single-pass blocked path (large N): one score pass emits per-row
+# column-block log-masses; the column draw then needs only an nb-way block
+# draw plus one 128-wide within-block pass — no second N^2 sweep and no
+# per-element hash/Gumbel over the full row.
+# --------------------------------------------------------------------------
+
+def _block_indicator(N, nb, dtype):
+    j = jax.lax.broadcasted_iota(jnp.int32, (N, nb), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (N, nb), 1)
+    return ((j >> 7) == b).astype(dtype)      # _COL_BLOCK == 128
+
+
+def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb):
+    """Lb[i, b] = log sum_{j in col-block b} exp(rf_i . cf_j + cb_j) for one
+    128-row block. The block reduction is an MXU matmul of the exponentials
+    with a static (N, nb) indicator."""
+    rf = rf_ref[0]          # (ROW_BLOCK, k)
+    cfT = cfT_ref[0]        # (k, N)
+    cb = cb_ref[0]          # (1, N)
+    N = cfT.shape[1]
+    s = _pair_scores(rf, cfT, cb, _ROW_BLOCK, N, k)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    B = _block_indicator(N, nb, s.dtype)
+    mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.log(mass) + m
+
+
+def block_masses(row_feat, col_feat, col_bias, *, interpret=False):
+    """Per-row column-block log-masses of the factorised pairwise scores.
+
+    row_feat (P, N, k); col_feat (P, N, k); col_bias (P, N) -> (P, N, nb)
+    with nb = N // 128 (N must be a multiple of 128). The full row-LSE is
+    `logsumexp(out, axis=-1)`.
+    """
+    P, N, k = row_feat.shape
+    assert N % _COL_BLOCK == 0, N
+    nb = N // _COL_BLOCK
+    rb_blocks = pl.cdiv(N, _ROW_BLOCK)
+    out = pl.pallas_call(
+        functools.partial(_block_masses_kernel, k=k, nb=nb),
+        grid=(P, rb_blocks),
+        in_specs=[
+            pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, N), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _ROW_BLOCK, nb),
+                               lambda p, r: (p, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, rb_blocks, _ROW_BLOCK, nb),
+                                       jnp.float32),
+        interpret=interpret,
+    )(row_feat, jnp.swapaxes(col_feat, 1, 2), col_bias[:, None, :])
+    return out.reshape(P, rb_blocks * _ROW_BLOCK, nb)[:, :N]
+
+
+def block_masses_xla(row_feat, col_feat, col_bias):
+    """Blocked XLA equivalent of `block_masses` (same indicator matmul)."""
+    P, N, k = row_feat.shape
+    assert N % _COL_BLOCK == 0, N
+    nb = N // _COL_BLOCK
+    rbs = -(-N // _ROW_BLOCK)
+    rf = row_feat.reshape(P, rbs, _ROW_BLOCK, k).transpose(1, 0, 2, 3)
+    B = _block_indicator(N, nb, row_feat.dtype)
+
+    def one(rf_blk):
+        s = jnp.einsum("pik,pjk->pij", rf_blk, col_feat) + col_bias[:, None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        mass = jax.lax.dot_general(e, B, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return jnp.log(mass) + m                 # (P, ROW_BLOCK, nb)
+
+    out = jax.lax.map(one, rf)                   # (rbs, P, ROW_BLOCK, nb)
+    return out.transpose(1, 0, 2, 3).reshape(P, rbs * _ROW_BLOCK, nb)[:, :N]
+
+
+def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
+                       pair_offset=0):
+    """Column draws from the exact conditional categorical using block masses.
+
+    Exact two-stage factorisation P(j | i) = P(block | i) P(j | i, block):
+    the block is drawn by inverse CDF over the nb log-masses, the
+    within-block column by Gumbel-argmax over one recomputed 128-wide score
+    slice. All XLA — the per-draw work is O(nb + 128), not O(N).
+
+    seed: int32 scalar; rows (P, n) sampled row ids; Lb (P, N, nb) from
+    `block_masses`; row_feat_sel (P, n, k); col_feat (P, N, k);
+    col_bias (P, N) -> (P, n) int32.
+    """
+    P, n, k = row_feat_sel.shape
+    N = col_feat.shape[1]
+    nb = N // _COL_BLOCK
+    seed = jnp.asarray(seed, jnp.int32)
+    pair_ids = (jnp.arange(P, dtype=jnp.int32)
+                + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
+    draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
+
+    # Stage 2a: block ~ Cat(exp(Lb[row])). Separate counter stream from the
+    # within-block stage via a mixed seed.
+    seed_blk = _mix32(seed.astype(jnp.uint32) ^ jnp.uint32(0x5BD1E995))
+    u_blk = counter_uniform(seed_blk, pair_ids, jnp.int32(nb), draw_ids,
+                            jnp.zeros_like(draw_ids))             # (P, n)
+    Lb_sel = jnp.take_along_axis(Lb, rows[:, :, None], axis=1)    # (P, n, nb)
+    m = jnp.max(Lb_sel, axis=-1, keepdims=True)
+    w = jnp.exp(Lb_sel - m)
+    cdf = jnp.cumsum(w, axis=-1)
+    target = (u_blk * cdf[..., -1])[..., None]
+    blocks = jnp.sum((cdf < target).astype(jnp.int32), axis=-1)
+    blocks = jnp.clip(blocks, 0, nb - 1).astype(jnp.int32)        # (P, n)
+
+    # Stage 2b: recompute the chosen 128-wide block's scores per draw.
+    cf_blk = col_feat.reshape(P, nb, _COL_BLOCK, k)
+    cf_sel = jnp.take_along_axis(
+        cf_blk, blocks[:, :, None, None], axis=1)                 # (P, n, 128, k)
+    cb_blk = col_bias.reshape(P, nb, _COL_BLOCK)
+    cb_sel = jnp.take_along_axis(cb_blk, blocks[:, :, None], axis=1)
+    s2 = jnp.einsum("pnk,pnjk->pnj", row_feat_sel, cf_sel) + cb_sel
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 2)
+    u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
+                           blocks[:, :, None], j_loc)             # (P, n, 128)
+    g = s2 - jnp.log(-jnp.log(u_in))
+    j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
+    return blocks * _COL_BLOCK + j_star
 
 
 # --------------------------------------------------------------------------

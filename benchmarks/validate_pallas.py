@@ -62,6 +62,12 @@ def main(sections=None):
     import jax
     import jax.numpy as jnp
 
+    # The XLA oracles must run true-f32 matmuls: the TPU default lowers
+    # f32 matmul inputs to bf16, which makes the *oracle* ~1e-3-inaccurate
+    # while the Pallas lane kernels sit at f32 epsilon (measured round 2:
+    # pallas med_rel 2e-7 vs default-XLA med_rel 3e-3 against f64 truth).
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     all_sections = ("filter", "kalman", "scalar", "stitching", "csmc")
     sections = tuple(sections) if sections else all_sections
 
@@ -194,6 +200,17 @@ def main(sections=None):
         agree("stitching.col_sample.offset",
               S.col_sample(seed, rf[2:], cf[2:], cb[2:], pair_offset=2),
               S.col_sample_xla(seed, rf, cf, cb)[2:], min_frac=1.0)
+        # Single-pass block-mass kernel + the blocked column draw fed by it.
+        check("stitching.block_masses", S.block_masses(rf, cf, cb),
+              S.block_masses_xla(rf, cf, cb), atol=1e-4, rtol=1e-4)
+        rows = jnp.asarray(rng.integers(0, N, (P_, N)), jnp.int32)
+        rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
+        agree("stitching.blocked_col_sample",
+              S.blocked_col_sample(seed, rows, S.block_masses(rf, cf, cb),
+                                   rf_sel, cf, cb),
+              S.blocked_col_sample(seed, rows, S.block_masses_xla(rf, cf, cb),
+                                   rf_sel, cf, cb),
+              min_frac=0.999)
 
     # ---- csmc_fwd: index/weight + lane forward, backward -----------------
     if "csmc" in sections:

@@ -57,14 +57,20 @@ N_PART = 64
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("with_qt,fused", [(False, False), (True, False),
-                                           (False, True), (True, True)])
-def test_pit_csmc_invariance(with_qt, fused):
+@pytest.mark.parametrize("with_qt,fused,blocked",
+                         [(False, False, False), (True, False, False),
+                          (False, True, False), (True, True, False),
+                          (False, True, True)])
+def test_pit_csmc_invariance(with_qt, fused, blocked, monkeypatch):
     """PIT-cSMC with independent N(u_t, delta/2) proposals must keep the
     auxiliary target invariant; we check the full auxiliary Gibbs chain
     (u-refresh + PIT kernel) recovers the LGSSM smoothing posterior.
     `fused=True` marks the observation potential previous-state-independent,
-    which routes stitching through the factorised (matmul) operator."""
+    which routes stitching through the factorised (matmul) operator;
+    `blocked=True` additionally forces the single-pass block-mass draw
+    (requires N % 128 == 0)."""
+    n_part = 128 if blocked else N_PART
+    monkeypatch.setenv("AUX_SSM_STITCH", "blocked" if blocked else "2pass")
     rng = np.random.default_rng(0)
     ys = rng.standard_normal((T, D)) * 0.5
     delta = 0.8
@@ -95,7 +101,7 @@ def test_pit_csmc_invariance(with_qt, fused):
     G0 = ObsG0()
     Gt = ObsGt(params=jnp.asarray(ys[1:]))
 
-    init, kernel = get_indep(M0, G0, Mt, Gt, N_PART, gradient=with_qt, parallel=True)
+    init, kernel = get_indep(M0, G0, Mt, Gt, n_part, gradient=with_qt, parallel=True)
     state = init(jnp.zeros((T, D)))
 
     n_iter = 30_000

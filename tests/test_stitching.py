@@ -127,6 +127,126 @@ def test_col_sample_law():
     np.testing.assert_allclose(freq, p, atol=4 * 0.008)
 
 
+@pytest.mark.parametrize("N", [128, 256])
+def test_block_masses_xla_matches_dense(N):
+    rng = np.random.default_rng(8)
+    P, k = 2, 3
+    rf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), dtype=jnp.float32)
+
+    got = st.block_masses_xla(rf, cf, cb)
+    nb = N // 128
+    for p in range(P):
+        s = _dense_scores(np.asarray(rf[p], np.float64),
+                          np.asarray(cf[p], np.float64),
+                          np.asarray(cb[p], np.float64))
+        want = np.stack([
+            np.log(np.exp(s[:, b * 128:(b + 1) * 128]
+                          - s.max(1, keepdims=True)).sum(1))
+            + s.max(1) for b in range(nb)
+        ], axis=1)
+        np.testing.assert_allclose(np.asarray(got[p]), want,
+                                   rtol=1e-4, atol=1e-5)
+    # Row-LSE consistency with the two-pass kernel's law.
+    lse = jax.scipy.special.logsumexp(got, axis=-1)
+    want_lse = st.row_lse_xla(rf, cf, cb)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_block_masses_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(9)
+    P, N, k = 2, 256, 2
+    rf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cf = jnp.asarray(rng.standard_normal((P, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), dtype=jnp.float32)
+
+    got = st.block_masses(rf, cf, cb, interpret=True)
+    want = st.block_masses_xla(rf, cf, cb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_blocked_col_sample_law():
+    """Block-then-within-block draws must follow the exact conditional
+    categorical softmax(rf_i . cf + cb) — same law as `col_sample`."""
+    rng = np.random.default_rng(10)
+    N, k = 256, 2
+    n_seeds = 4000
+    rf = jnp.asarray(rng.standard_normal((1, 1, k)), dtype=jnp.float32)
+    cf = jnp.asarray(0.3 * rng.standard_normal((1, N, k)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((1, N)), dtype=jnp.float32)
+    rows = jnp.zeros((1, 1), jnp.int32)
+    rf_full = jnp.broadcast_to(rf, (1, N, k))
+
+    s = _dense_scores(np.asarray(rf[0]), np.asarray(cf[0]), np.asarray(cb[0]))[0]
+    p = np.exp(s - s.max())
+    p /= p.sum()
+
+    Lb = st.block_masses_xla(rf_full, cf, cb)
+
+    draw = jax.jit(lambda sd: st.blocked_col_sample(sd, rows, Lb, rf, cf, cb)[0, 0])
+    idx = np.asarray(jax.vmap(draw)(jnp.arange(n_seeds, dtype=jnp.int32)))
+    freq = np.bincount(idx, minlength=N) / n_seeds
+    # Aggregate into 8 coarse bins to keep per-bin MC-SE meaningful.
+    fb = freq.reshape(8, -1).sum(1)
+    pb = p.reshape(8, -1).sum(1)
+    np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(n_seeds))
+
+
+def test_blocked_node_draw_law_matches_dense_joint(monkeypatch):
+    """`_fused_node_draw` under AUX_SSM_STITCH=blocked must follow the same
+    flat N^2 softmax law as the two-pass path (non-pinned slots)."""
+    from aux_ssm_tpu.kernels import pit as pit_mod
+    from aux_ssm_tpu.kernels.csmc_base import Potential
+
+    monkeypatch.setenv("AUX_SSM_STITCH", "blocked")
+
+    rng = np.random.default_rng(11)
+    N, d = 128, 1
+    sig, phi = 0.9, 0.7
+
+    @chex.dataclass
+    class PairGt(Potential):
+        prev_dependent = False
+        supports_pairwise_factors = True
+
+        def pairwise_factors(self, x_left, x_right, params):
+            return diag_gaussian_pair_factors(phi * x_left, x_right, sig)
+
+    xl = jnp.asarray(rng.standard_normal((1, N, d)), dtype=jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((1, N, d)), dtype=jnp.float32)
+    lw = jnp.zeros((1, N), jnp.float32)
+    params = jnp.zeros((1,))
+    gt = PairGt(params=None)
+
+    rf, cf, rb, cb = diag_gaussian_pair_factors(
+        phi * np.asarray(xl[0], np.float64), np.asarray(xr[0], np.float64),
+        sig)
+    logw = np.asarray(rb)[:, None] + np.asarray(cb)[None, :] \
+        + np.asarray(rf @ cf.T)
+    pj = np.exp(logw - logw.max())
+    pj /= pj.sum()
+    # Coarse 8x8 block marginals for the frequency test.
+    pjb = pj.reshape(8, N // 8, 8, N // 8).sum((1, 3))
+
+    def draw(seed):
+        keys = jax.random.split(jax.random.key(seed), 1)
+        rows, cols = pit_mod._fused_node_draw(
+            xl, xr, lw, lw, params, keys, gt, N, False, False)
+        return rows[0, 1], cols[0, 1]      # slot 1: first unpinned pair
+
+    draw_j = jax.jit(draw)
+    n_seeds = 3000
+    counts = np.zeros((8, 8))
+    for seed in range(n_seeds):
+        li, ri = draw_j(seed)
+        counts[int(li) * 8 // N, int(ri) * 8 // N] += 1.0
+    np.testing.assert_allclose(counts / n_seeds, pjb,
+                               atol=5 * 0.5 / np.sqrt(n_seeds))
+
+
 def test_fused_operator_law_matches_dense_joint():
     """The fused two-stage draw over one tree node must follow the exact flat
     N^2 softmax of w_ij = rb_i + cb_j + rf_i . cf_j (for non-pinned slots)."""
