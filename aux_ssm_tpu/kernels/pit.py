@@ -34,6 +34,7 @@ from jax.scipy.special import logsumexp
 
 from .csmc_base import CSMCState, Distribution, UnivariatePotential, Potential
 from ..ops.resampling import multinomial
+from ..ops.take import take_rows, categorical_from_uniforms
 from ..ops.pallas import stitching as _stitch
 
 
@@ -402,8 +403,8 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
 
         sig_l = _boundary_sigma(lefts, k, sels, N)
         sig_r = _boundary_sigma(rights, k, sels, N)
-        xl = jnp.take_along_axis(left_vals[lefts], sig_l[..., None], axis=1)
-        xr = jnp.take_along_axis(right_vals[rights], sig_r[..., None], axis=1)
+        xl = take_rows(left_vals[lefts], sig_l)
+        xr = take_rows(right_vals[rights], sig_r)
         # Initial importance weights enter at level 0 (every step is then a
         # boundary); after any stitching the weights are uniform.
         if log_wts is not None and k == 0:
@@ -484,7 +485,7 @@ def _boundary_sigma(ts_np, k, sels, N):
         ri = np.where(act & (side == 1), p, n_act)
         maps = jnp.where(jnp.asarray(side & act, dtype=bool)[:, None],
                          Rp[ri], Lp[li])
-        sigma = jnp.take_along_axis(sigma, maps.astype(jnp.int32), axis=1)
+        sigma = take_rows(sigma, maps.astype(jnp.int32))
     return sigma
 
 
@@ -521,9 +522,9 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         return row[:, None], col[:, None]
 
     u_rows = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(key_rows)
-    rows = jax.vmap(_rows_from_uniforms)(row_logits, u_rows)
+    rows = categorical_from_uniforms(row_logits, u_rows)
     rows = rows.at[:, 0].set(0)
-    rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
+    rf_sel = take_rows(rf, rows)
     if seed is None:
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)

@@ -1,0 +1,113 @@
+"""TPU-fast batched gathers and categorical draws.
+
+XLA lowers `jnp.take_along_axis` with a size-1 minor dimension to a scalar
+gather that runs at ~5e7 elements/s on TPU (measured round 2), while gathers
+whose minor dimension is a contiguous 128-lane tile run at full HBM speed
+(>3 orders of magnitude faster). `take_rows` therefore gathers the 128-wide
+*tile* containing each index and resolves the within-tile offset with a
+one-hot reduce — trading 128x HBM inflation (~1ms/GB) for the scalar-gather
+path (~20ms/M-element).
+
+`categorical_from_uniforms` applies the same idea to N-way inverse-CDF
+draws: `jnp.searchsorted`'s scan lowering cost 292 ms for (512, 4096)
+draws on a v5e; the hierarchical tile-CDF version is the *same* inverse-CDF
+draw (up to f32 summation association) in a few ms.
+
+No reference counterpart — this layer exists because of TPU gather
+semantics (reference relies on XLA:GPU gathers, e.g.
+`_primitives/csmc/pit/operator.py:95-111`).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+
+_TILE = 128
+
+
+def _use_tile_path():
+    flag = os.environ.get("AUX_SSM_FAST_TAKE", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
+def take_rows(vals, idx):
+    """Batched `vals[..., idx, :]` along the second-to-last (or last) axis.
+
+    vals (..., N) or (..., N, d); idx (..., n) int32 with matching leading
+    batch dims. Returns (..., n) or (..., n, d). Exact — same values as
+    `jnp.take_along_axis`; on TPU uses the tile-gather + one-hot-reduce
+    lowering when N is a multiple of 128.
+    """
+    vec = vals.ndim == idx.ndim          # (..., N) scalar-valued case
+    if vec:
+        vals = vals[..., None]
+    N = vals.shape[-2]
+    if not _use_tile_path() or N % _TILE != 0:
+        out = jnp.take_along_axis(vals, idx[..., None], axis=-2)
+    else:
+        nb = N // _TILE
+        d = vals.shape[-1]
+        tiles = vals.reshape(vals.shape[:-2] + (nb, _TILE, d))
+        t = (idx >> 7)[..., None, None]                      # (..., n, 1, 1)
+        sel = jnp.take_along_axis(tiles, t, axis=-3)         # (..., n, TILE, d)
+        off = (idx & (_TILE - 1))[..., None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, sel.shape[:-1],
+                                        sel.ndim - 2)        # (..., n, TILE)
+        mask = (lane == off)[..., None]
+        out = jnp.sum(jnp.where(mask, sel, jnp.zeros_like(sel)), axis=-2)
+    return out[..., 0] if vec else out
+
+
+def categorical_from_uniforms(logits, u):
+    """n iid inverse-CDF categorical draws over N from unnormalised
+    log-probs. logits (..., N); u (..., n) uniforms in (0, 1) -> (..., n)
+    int32. The flat CDF is decomposed hierarchically (tile CDF, then the
+    conditional offset within the chosen tile) so no `searchsorted` scan
+    and no scalar gather is emitted.
+    """
+    N = logits.shape[-1]
+    if not _use_tile_path() or N % _TILE != 0:
+        return _flat_inverse_cdf(logits, u)
+    nb = N // _TILE
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)                                  # (..., N)
+    wt = w.reshape(w.shape[:-1] + (nb, _TILE))
+    tile_sum = jnp.sum(wt, axis=-1)                          # (..., nb)
+    tile_cdf = jnp.cumsum(tile_sum, axis=-1)
+    total = tile_cdf[..., -1:]
+    t = u * total                                            # (..., n)
+    below = tile_cdf[..., None, :] < t[..., None]            # (..., n, nb)
+    blk = jnp.sum(below.astype(jnp.int32), axis=-1)
+    blk = jnp.clip(blk, 0, nb - 1)
+    # CDF mass strictly before the chosen tile, without a scalar gather.
+    prev = jnp.sum(jnp.where(below, tile_sum[..., None, :], 0.0), axis=-1)
+    prev = jnp.minimum(prev, t)                              # guard f32 order
+    sel = jnp.take_along_axis(wt, blk[..., None], axis=-2)   # (..., n, TILE)
+    in_cdf = jnp.cumsum(sel, axis=-1)
+    off = jnp.sum((in_cdf < (t - prev)[..., None]).astype(jnp.int32), axis=-1)
+    off = jnp.clip(off, 0, _TILE - 1)
+    return (blk * _TILE + off).astype(jnp.int32)
+
+
+def _flat_inverse_cdf(logits, u):
+    """searchsorted-based fallback (CPU, or N not tile-aligned); memory-lean
+    — never materialises an (n, N) comparison."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(jnp.exp(logits - m), axis=-1)
+    target = u * cdf[..., -1:]
+    N = logits.shape[-1]
+    if logits.ndim == 1:
+        idx = jnp.searchsorted(cdf, target)
+    else:
+        flat_cdf = cdf.reshape(-1, N)
+        flat_t = target.reshape(-1, target.shape[-1])
+        idx = jax.vmap(jnp.searchsorted)(flat_cdf, flat_t).reshape(u.shape)
+    return jnp.clip(idx, 0, N - 1).astype(jnp.int32)

@@ -1,0 +1,89 @@
+"""TPU-fast gather/draw primitives: the tile path must be exactly equal to
+the take_along_axis / flat inverse-CDF semantics (forced on CPU via
+AUX_SSM_FAST_TAKE=1)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aux_ssm_tpu.ops import take as tk
+
+
+@pytest.fixture
+def force_tile(monkeypatch):
+    monkeypatch.setenv("AUX_SSM_FAST_TAKE", "1")
+
+
+def test_take_rows_scalar_valued_exact(force_tile):
+    rng = np.random.default_rng(0)
+    P, N, n = 3, 256, 100
+    vals = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (P, n)), jnp.int32)
+    got = tk.take_rows(vals, idx)
+    want = jnp.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_take_rows_vector_valued_exact(force_tile):
+    rng = np.random.default_rng(1)
+    P, N, n, d = 2, 384, 50, 3
+    vals = jnp.asarray(rng.standard_normal((P, N, d)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (P, n)), jnp.int32)
+    got = tk.take_rows(vals, idx)
+    want = jnp.take_along_axis(vals, idx[..., None], axis=-2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_take_rows_int_dtype(force_tile):
+    rng = np.random.default_rng(2)
+    P, N = 4, 128
+    vals = jnp.asarray(rng.integers(0, 1000, (P, N)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, N, (P, N)), jnp.int32)
+    got = tk.take_rows(vals, idx)
+    want = jnp.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_take_rows_non_tile_aligned_falls_back(force_tile):
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.standard_normal((2, 100)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 100, (2, 10)), jnp.int32)
+    got = tk.take_rows(vals, idx)
+    want = jnp.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_categorical_tile_matches_flat(force_tile):
+    """Tile-hierarchical inverse CDF must make the same draws as the flat
+    inverse CDF (identical uniforms); f32 association can flip a draw only
+    on an exact CDF boundary, which has measure ~0 for random logits."""
+    rng = np.random.default_rng(4)
+    P, N, n = 5, 512, 300
+    logits = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(P, n)), jnp.float32)
+    got = tk.categorical_from_uniforms(logits, u)
+    want = tk._flat_inverse_cdf(logits, u)
+    assert float((np.asarray(got) == np.asarray(want)).mean()) > 0.999
+
+
+def test_categorical_law(force_tile):
+    """Empirical frequencies match softmax probabilities."""
+    rng = np.random.default_rng(5)
+    N, n = 128, 200_000
+    logits = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(n,)), jnp.float32)
+    idx = np.asarray(tk.categorical_from_uniforms(logits, u))
+    p = np.exp(np.asarray(logits) - np.asarray(logits).max())
+    p /= p.sum()
+    freq = np.bincount(idx, minlength=N) / n
+    np.testing.assert_allclose(freq.reshape(8, -1).sum(1),
+                               p.reshape(8, -1).sum(1),
+                               atol=5 * 0.5 / np.sqrt(n))
+
+
+def test_categorical_1d(force_tile):
+    logits = jnp.asarray(np.log([0.1, 0.2, 0.3, 0.4] * 32), jnp.float32)
+    u = jnp.asarray([0.0001, 0.5, 0.9999], jnp.float32)
+    idx = tk.categorical_from_uniforms(logits, u)
+    assert idx.shape == (3,)
+    assert int(idx[0]) == 0 and int(idx[2]) == 127
