@@ -194,6 +194,12 @@ def _use_blocked_stitch(N):
     return mode == "blocked" or N >= _BLOCKED_MIN_N
 
 
+def _use_fused_draws():
+    """Single-launch fused stage-1+2 draws (`stitching.stitch_draws`);
+    AUX_SSM_FUSED_DRAWS=0 falls back to the unfused composition."""
+    return os.environ.get("AUX_SSM_FUSED_DRAWS", "1") != "0"
+
+
 def _rows_from_uniforms(logits, u):
     """n iid categorical draws over N from unnormalised log-probs."""
     m = jnp.max(logits)
@@ -522,12 +528,19 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         return row[:, None], col[:, None]
 
     u_rows = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(key_rows)
-    rows = categorical_from_uniforms(row_logits, u_rows)
-    rows = rows.at[:, 0].set(0)
-    rf_sel = take_rows(rf, rows)
     if seed is None:
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    if blocked and _use_fused_draws():
+        # Single-launch stage-1 + stage-2: every per-draw gather stays in
+        # VMEM as a one-hot MXU matmul (see `stitching.stitch_draws`).
+        draw = _stitch.stitch_draws if use_pallas else _stitch.stitch_draws_xla
+        rows, cols = draw(seed, row_logits, u_rows, Lb, rf, cf, cb,
+                          pair_offset=pair_offset)
+        return rows.at[:, 0].set(0), cols.at[:, 0].set(0)
+    rows = categorical_from_uniforms(row_logits, u_rows)
+    rows = rows.at[:, 0].set(0)
+    rf_sel = take_rows(rf, rows)
     if blocked:
         cols = _stitch.blocked_col_sample(seed, rows, Lb, rf_sel, cf, cb,
                                           pair_offset=pair_offset)

@@ -43,6 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_BLOCK = 128
+# Finite stand-in for -inf log-masses: far below any real score, yet
+# 0 * _NEG_FLOOR = 0 (not NaN) in the one-hot selection matmuls, and
+# exp(_NEG_FLOOR - m) underflows to exactly 0 for any finite m.
+_NEG_FLOOR = -1e30
 # Above this N the (ROW_BLOCK, N) score block exceeds the VMEM budget;
 # callers should fall back to the XLA blocked path.
 MAX_FUSED_N = 16384
@@ -335,6 +339,268 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
     g = s2 - jnp.log(-jnp.log(u_in))
     j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
     return blocks * _COL_BLOCK + j_star
+
+
+# --------------------------------------------------------------------------
+# Fully-fused stage-1 + stage-2 draws (large N): row draws, block draws and
+# within-block column draws in ONE launch. XLA's gather lowering makes the
+# unfused composition (categorical_from_uniforms + take_rows +
+# blocked_col_sample) HBM-gather-bound (~180 ms per 512-node level at
+# N = 4096 on a v5e, vs 37 ms for the N^2 block-mass pass itself); here every
+# gather becomes an on-the-fly one-hot MXU matmul over VMEM-resident
+# payloads, so per-draw data never round-trips HBM.
+# --------------------------------------------------------------------------
+
+
+def _lane_cumsum(x, n, roll):
+    """Hillis-Steele inclusive cumsum over the last (lane) axis. `roll(z, s)`
+    rotates +s along that axis; wrapped lanes are masked off. The shift-add
+    association is shared by the kernel (pltpu.roll) and the XLA twin
+    (jnp.roll), keeping both paths' f32 CDFs structurally identical."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < n:
+        x = x + jnp.where(ids >= sh, roll(x, sh), jnp.zeros_like(x))
+        sh *= 2
+    return x
+
+
+def _stage1_rows(rl_flat, rl2, u_t, nb, roll):
+    """Hierarchical inverse-CDF row draws for one 128-draw block.
+
+    rl_flat (1, N) row logits; rl2 (nb, 128) the same logits tile-reshaped;
+    u_t (128, 1) uniforms -> (128, 1) int32 rows. Same law as
+    `take.categorical_from_uniforms` (tile CDF, then within-tile offset)."""
+    N = rl_flat.shape[1]
+    m = jnp.max(rl_flat, axis=1, keepdims=True)            # (1, 1)
+    w_flat = jnp.exp(rl_flat - jnp.broadcast_to(m, rl_flat.shape))
+    B = _block_indicator(N, nb, w_flat.dtype)
+    ts = jax.lax.dot_general(w_flat, B, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (1, nb)
+    cdf = _lane_cumsum(ts, nb, roll)
+    total = jax.lax.slice(cdf, (0, nb - 1), (1, nb))       # (1, 1)
+    t1 = u_t * jnp.broadcast_to(total, u_t.shape)          # (128, 1)
+    cdf_b = jnp.broadcast_to(cdf, (u_t.shape[0], nb))
+    t1_b = jnp.broadcast_to(t1, (u_t.shape[0], nb))
+    below = cdf_b < t1_b
+    blk = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1, keepdims=True),
+                   0, nb - 1)
+    ts_b = jnp.broadcast_to(ts, (u_t.shape[0], nb))
+    prev = jnp.sum(jnp.where(below, ts_b, jnp.zeros_like(ts_b)), axis=1,
+                   keepdims=True)
+    prev = jnp.minimum(prev, t1)                           # guard f32 order
+    oh1 = (jnp.broadcast_to(blk, (u_t.shape[0], nb))
+           == jax.lax.broadcasted_iota(jnp.int32, (u_t.shape[0], nb), 1)
+           ).astype(w_flat.dtype)
+    w2 = jnp.exp(rl2 - jnp.broadcast_to(m, rl2.shape))     # (nb, 128)
+    wt = jax.lax.dot_general(oh1, w2, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (128, 128)
+    ic = _lane_cumsum(wt, wt.shape[1], roll)
+    rem = jnp.broadcast_to(t1 - prev, wt.shape)
+    off = jnp.clip(jnp.sum((ic < rem).astype(jnp.int32), axis=1,
+                           keepdims=True), 0, wt.shape[1] - 1)
+    return blk * wt.shape[1] + off                         # (128, 1) int32
+
+
+def _stage2_cols(rows_d, payload, cf2, cb2, seed, seed_blk, pair, draws, nb,
+                 k, roll):
+    """Block + within-block column draws for one 128-draw block.
+
+    rows_d (128, 1) sampled rows; payload (N, nb + k) = [Lb | rf]; cf2
+    (k, nb, 128); cb2 (nb, 128). Counter streams match `blocked_col_sample`
+    exactly: u_blk on (seed_blk, pair, nb, draw, 0), u_in on
+    (seed, pair, draw, block, j_loc)."""
+    n_draw = rows_d.shape[0]
+    N = payload.shape[0]
+    ohr = (jnp.broadcast_to(rows_d, (n_draw, N))
+           == jax.lax.broadcasted_iota(jnp.int32, (n_draw, N), 1)
+           ).astype(payload.dtype)
+    pay = jax.lax.dot_general(ohr, payload, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    Lb_sel = jax.lax.slice(pay, (0, 0), (n_draw, nb))      # (128, nb)
+    rf_sel = jax.lax.slice(pay, (0, nb), (n_draw, nb + k)) # (128, k)
+
+    u_blk = counter_uniform(seed_blk, jnp.broadcast_to(pair, draws.shape),
+                            jnp.full_like(draws, nb), draws,
+                            jnp.zeros_like(draws))          # (128, 1)
+    m2 = jnp.max(Lb_sel, axis=1, keepdims=True)
+    wb = jnp.exp(Lb_sel - m2)
+    cdf2 = _lane_cumsum(wb, nb, roll)
+    tot2 = jax.lax.slice(cdf2, (0, nb - 1), (n_draw, nb))
+    tgt = jnp.broadcast_to(u_blk * tot2, cdf2.shape)
+    blk2 = jnp.clip(jnp.sum((cdf2 < tgt).astype(jnp.int32), axis=1,
+                            keepdims=True), 0, nb - 1)      # (128, 1)
+
+    oh2 = (jnp.broadcast_to(blk2, (n_draw, nb))
+           == jax.lax.broadcasted_iota(jnp.int32, (n_draw, nb), 1)
+           ).astype(payload.dtype)
+    s2 = jax.lax.dot_general(oh2, cb2, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (128, 128)
+    nblk_w = s2.shape[1]
+    for kk in range(k):
+        cfk = cf2[kk]                                      # (nb, 128)
+        sel = jax.lax.dot_general(oh2, cfk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        rfk = jax.lax.slice(rf_sel, (0, kk), (n_draw, kk + 1))
+        s2 = s2 + jnp.broadcast_to(rfk, (n_draw, nblk_w)) * sel
+
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    u_in = counter_uniform(seed, jnp.broadcast_to(pair, s2.shape),
+                           jnp.broadcast_to(draws, s2.shape),
+                           jnp.broadcast_to(blk2, s2.shape), j_loc)
+    g = s2 - jnp.log(-jnp.log(u_in))
+    m3 = jnp.max(g, axis=1, keepdims=True)
+    j_star = jnp.min(jnp.where(g >= jnp.broadcast_to(m3, g.shape), j_loc,
+                               jnp.full_like(j_loc, nblk_w)),
+                     axis=1, keepdims=True)
+    return blk2 * _COL_BLOCK + j_star                      # (128, 1) int32
+
+
+def _stitch_draws_kernel(smem_ref, rl_flat_ref, rl2_ref, u_ref, payload_ref,
+                         cf2_ref, cb2_ref, rows_ref, cols_ref, *, k, nb):
+    pair = pl.program_id(0) + smem_ref[1]
+    c = pl.program_id(1)
+    n_draw = u_ref.shape[2]
+    draws = (c * n_draw
+             + jax.lax.broadcasted_iota(jnp.int32, (n_draw, 1), 0))
+    roll = lambda z, s: pltpu.roll(z, s, axis=z.ndim - 1)
+
+    rows_d = _stage1_rows(rl_flat_ref[0], rl2_ref[0], u_ref[0, 0], nb, roll)
+    cols_d = _stage2_cols(rows_d, payload_ref[0], cf2_ref[0], cb2_ref[0],
+                          smem_ref[0], smem_ref[2], pair, draws, nb, k, roll)
+    rows_ref[0, 0] = rows_d
+    cols_ref[0, 0] = cols_d
+
+
+def _seed_blk(seed):
+    return _mix32(jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+                  ^ jnp.uint32(0x5BD1E995)).astype(jnp.int32)
+
+
+def stitch_draws(seed, row_logits, u_rows, Lb, rf, cf, cb, *, pair_offset=0,
+                 interpret=False):
+    """Fused stage-1 row draws + stage-2 column draws for one tree level.
+
+    seed int32 scalar; row_logits (P, N) = row_bias + row_lse; u_rows (P, N)
+    stage-1 uniforms; Lb (P, N, nb) block masses; rf/cf (P, N, k); cb (P, N)
+    -> (rows, cols), each (P, N) int32. Pair 0 pinning is the caller's job.
+    Law: hierarchical inverse-CDF row draw (as `categorical_from_uniforms`),
+    exact two-stage P(j | i) = P(block | i) P(j | i, block) column draw with
+    the same counter streams as `blocked_col_sample`."""
+    P, N, k = rf.shape
+    assert N % _COL_BLOCK == 0 and Lb.shape == (P, N, N // _COL_BLOCK)
+    nb = N // _COL_BLOCK
+    nblk = N // _ROW_BLOCK
+    # One-hot matmul selection turns -inf payload entries into NaN
+    # (0 * -inf); clamp to a finite floor that still underflows to exactly 0
+    # through exp. (Indicator potentials, e.g. the rare-event model, emit
+    # -inf biases.)
+    Lb = jnp.maximum(Lb, _NEG_FLOOR)
+    cb = jnp.maximum(cb, _NEG_FLOOR)
+    smem = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                      jnp.asarray(pair_offset, jnp.int32).reshape(()),
+                      _seed_blk(seed).reshape(())])
+    payload = jnp.concatenate([Lb, rf], axis=-1)            # (P, N, nb + k)
+    cf2 = jnp.swapaxes(cf, 1, 2).reshape(P, k, nb, _COL_BLOCK)
+    out_shape = [jax.ShapeDtypeStruct((P, nblk, _ROW_BLOCK, 1), jnp.int32),
+                 jax.ShapeDtypeStruct((P, nblk, _ROW_BLOCK, 1), jnp.int32)]
+    rows, cols = pl.pallas_call(
+        functools.partial(_stitch_draws_kernel, k=k, nb=nb),
+        grid=(P, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, N), lambda p, c: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, _ROW_BLOCK), lambda p, c: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _ROW_BLOCK, 1), lambda p, c: (p, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, nb + k), lambda p, c: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, nb, _COL_BLOCK), lambda p, c: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, _COL_BLOCK), lambda p, c: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _ROW_BLOCK, 1), lambda p, c: (p, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _ROW_BLOCK, 1), lambda p, c: (p, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(smem, row_logits[:, None, :],
+      row_logits.reshape(P, nb, _ROW_BLOCK),
+      u_rows.reshape(P, nblk, _ROW_BLOCK)[..., None],
+      payload, cf2, cb.reshape(P, nb, _COL_BLOCK))
+    return rows.reshape(P, N), cols.reshape(P, N)
+
+
+def stitch_draws_xla(seed, row_logits, u_rows, Lb, rf, cf, cb, pair_offset=0):
+    """XLA twin of `stitch_draws`: same counter streams and the same
+    shift-add CDF association, vectorised over (P, N) draws."""
+    P, N, k = rf.shape
+    nb = N // _COL_BLOCK
+    roll = lambda z, s: jnp.roll(z, s, axis=-1)
+    seed = jnp.asarray(seed, jnp.int32)
+    Lb = jnp.maximum(Lb, _NEG_FLOOR)      # match the kernel's -inf clamp
+    cb = jnp.maximum(cb, _NEG_FLOOR)
+
+    # Stage 1 (tile CDF + within-tile offset, shared association).
+    m = jnp.max(row_logits, axis=-1, keepdims=True)
+    w = jnp.exp(row_logits - m)                             # (P, N)
+    B = _block_indicator(N, nb, w.dtype)
+    ts = jax.lax.dot_general(w, B, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (P, nb)
+    cdf = _lane_cumsum(ts, nb, roll)
+    t1 = u_rows * cdf[:, -1:]                               # (P, N)
+    below = cdf[:, None, :] < t1[:, :, None]                # (P, N, nb)
+    blk = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=-1), 0, nb - 1)
+    prev = jnp.sum(jnp.where(below, ts[:, None, :], 0.0), axis=-1)
+    prev = jnp.minimum(prev, t1)
+    wt = w.reshape(P, nb, _ROW_BLOCK)
+    oh1 = jax.nn.one_hot(blk, nb, dtype=w.dtype)            # (P, N, nb)
+    sel = jnp.einsum("pnb,pbj->pnj", oh1, wt,
+                     precision=jax.lax.Precision.HIGHEST)   # (P, N, 128)
+    ic = _lane_cumsum(sel, _ROW_BLOCK, roll)
+    off = jnp.clip(jnp.sum((ic < (t1 - prev)[:, :, None]).astype(jnp.int32),
+                           axis=-1), 0, _ROW_BLOCK - 1)
+    rows = (blk * _ROW_BLOCK + off).astype(jnp.int32)       # (P, N)
+
+    # Stage 2 (same as blocked_col_sample, shared association).
+    pair_ids = (jnp.arange(P, dtype=jnp.int32)
+                + jnp.asarray(pair_offset, jnp.int32))[:, None]
+    draw_ids = jnp.arange(N, dtype=jnp.int32)[None, :]
+    u_blk = counter_uniform(_seed_blk(seed), pair_ids, jnp.int32(nb),
+                            draw_ids, jnp.zeros_like(draw_ids))
+    Lb_sel = jnp.take_along_axis(Lb, rows[:, :, None], axis=1)
+    m2 = jnp.max(Lb_sel, axis=-1, keepdims=True)
+    wb = jnp.exp(Lb_sel - m2)
+    cdf2 = _lane_cumsum(wb, nb, roll)
+    tgt = (u_blk * cdf2[..., -1])[..., None]
+    blocks = jnp.clip(jnp.sum((cdf2 < tgt).astype(jnp.int32), axis=-1),
+                      0, nb - 1).astype(jnp.int32)          # (P, N)
+
+    rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
+    cf_blk = cf.reshape(P, nb, _COL_BLOCK, k)
+    cf_sel = jnp.take_along_axis(cf_blk, blocks[:, :, None, None], axis=1)
+    cb_blk = cb.reshape(P, nb, _COL_BLOCK)
+    cb_sel = jnp.take_along_axis(cb_blk, blocks[:, :, None], axis=1)
+    s2 = jnp.einsum("pnk,pnjk->pnj", rf_sel, cf_sel,
+                    precision=jax.lax.Precision.HIGHEST) + cb_sel
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 2)
+    u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
+                           blocks[:, :, None], j_loc)
+    g = s2 - jnp.log(-jnp.log(u_in))
+    j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
+    return rows, (blocks * _COL_BLOCK + j_star).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------

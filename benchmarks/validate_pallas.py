@@ -211,6 +211,21 @@ def main(sections=None):
               S.blocked_col_sample(seed, rows, S.block_masses_xla(rf, cf, cb),
                                    rf_sel, cf, cb),
               min_frac=0.999)
+        # Fully-fused stage-1 + stage-2 draws vs the XLA twin. Shared f32
+        # CDF association, so near-exact agreement is expected (ties at
+        # CDF boundaries are the only tolerated divergence).
+        Lb_ = S.block_masses_xla(rf, cf, cb)
+        rb_ = jnp.asarray(rng.standard_normal((P_, N)), f32)
+        rl_ = rb_ + jax.scipy.special.logsumexp(Lb_, axis=-1)
+        u_ = jax.random.uniform(jax.random.key(7), (P_, N))
+        got_rc = S.stitch_draws(seed, rl_, u_, Lb_, rf, cf, cb,
+                                pair_offset=1)
+        want_rc = S.stitch_draws_xla(seed, rl_, u_, Lb_, rf, cf, cb,
+                                     pair_offset=1)
+        agree("stitching.stitch_draws.rows", got_rc[0], want_rc[0],
+              min_frac=0.999)
+        agree("stitching.stitch_draws.cols", got_rc[1], want_rc[1],
+              min_frac=0.999)
 
     # ---- csmc_fwd: index/weight + lane forward, backward -----------------
     if "csmc" in sections:

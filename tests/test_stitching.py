@@ -342,3 +342,94 @@ def test_fused_operator_pins_reference_pair():
         (_, _, origins), _, _ = fused_stitching_operator(
             ia, ib, gt, N, False, False)
         assert int(origins[0, 0, 0]) == 0 and int(origins[0, block, 0]) == 0
+
+
+# --------------------------------------------------------------------------
+# Fused stage-1 + stage-2 draws (stitch_draws)
+# --------------------------------------------------------------------------
+
+def _draws_inputs(N, k, P=2, seed=20):
+    rng = np.random.default_rng(seed)
+    rf = jnp.asarray(0.4 * rng.standard_normal((P, N, k)), jnp.float32)
+    cf = jnp.asarray(0.4 * rng.standard_normal((P, N, k)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    Lb = st.block_masses_xla(rf, cf, cb)
+    row_logits = rb + jax.scipy.special.logsumexp(Lb, axis=-1)
+    u_rows = jax.random.uniform(jax.random.key(seed), (P, N))
+    return rf, cf, cb, Lb, row_logits, u_rows
+
+
+def test_stitch_draws_interpret_matches_xla():
+    N, k = 256, 2
+    rf, cf, cb, Lb, row_logits, u_rows = _draws_inputs(N, k)
+    seed = jnp.int32(13)
+    got = st.stitch_draws(seed, row_logits, u_rows, Lb, rf, cf, cb,
+                          pair_offset=3, interpret=True)
+    want = st.stitch_draws_xla(seed, row_logits, u_rows, Lb, rf, cf, cb,
+                               pair_offset=3)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_stitch_draws_nb1_edge():
+    """N = 128 (a single column block) must work in both paths."""
+    N, k = 128, 1
+    rf, cf, cb, Lb, row_logits, u_rows = _draws_inputs(N, k, seed=21)
+    seed = jnp.int32(5)
+    got = st.stitch_draws(seed, row_logits, u_rows, Lb, rf, cf, cb,
+                          interpret=True)
+    want = st.stitch_draws_xla(seed, row_logits, u_rows, Lb, rf, cf, cb)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_stitch_draws_rows_law():
+    """Stage-1 rows must follow Cat(softmax(row_logits))."""
+    N, k = 256, 1
+    rf, cf, cb, Lb, row_logits, _ = _draws_inputs(N, k, P=1, seed=22)
+    p = np.asarray(jax.nn.softmax(row_logits[0]))
+
+    def draw(key):
+        u = jax.random.uniform(key, (1, N))
+        rows, _ = st.stitch_draws_xla(jnp.int32(1), row_logits, u, Lb,
+                                      rf, cf, cb)
+        return rows[0]
+
+    n_rep = 200
+    rows = np.asarray(jax.vmap(draw)(
+        jax.random.split(jax.random.key(0), n_rep))).ravel()
+    freq = np.bincount(rows, minlength=N) / rows.size
+    fb = freq.reshape(8, -1).sum(1)
+    pb = p.reshape(8, -1).sum(1)
+    np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(rows.size))
+
+
+def test_stitch_draws_cols_law_matches_conditional():
+    """Stage-2 cols given a pinned row must follow the exact conditional
+    categorical softmax(rf_row . cf + cb)."""
+    N, k = 256, 2
+    rng = np.random.default_rng(23)
+    rf_row = jnp.asarray(rng.standard_normal((1, k)), jnp.float32)
+    rf = jnp.broadcast_to(rf_row[None], (1, N, k))
+    cf = jnp.asarray(0.3 * rng.standard_normal((1, N, k)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    Lb = st.block_masses_xla(rf, cf, cb)
+    # All rows identical -> any sampled row gives the same conditional.
+    row_logits = jnp.zeros((1, N), jnp.float32)
+    u_rows = jax.random.uniform(jax.random.key(3), (1, N))
+
+    s = _dense_scores(np.asarray(rf[0, 0:1]), np.asarray(cf[0]),
+                      np.asarray(cb[0]))[0]
+    p = np.exp(s - s.max())
+    p /= p.sum()
+
+    draw = jax.jit(lambda sd: st.stitch_draws_xla(
+        sd, row_logits, u_rows, Lb, rf, cf, cb)[1][0])
+    n_seeds = 300
+    cols = np.asarray(jax.vmap(draw)(
+        jnp.arange(n_seeds, dtype=jnp.int32))).ravel()
+    freq = np.bincount(cols, minlength=N) / cols.size
+    fb = freq.reshape(8, -1).sum(1)
+    pb = p.reshape(8, -1).sum(1)
+    np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(cols.size))
