@@ -76,7 +76,8 @@ def get_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics, Gt: Pote
     return init, kernel
 
 
-_FUSED_MAX_N = 1024
+_FUSED_MAX_N = 1024     # factor kernel: dense (N, N) intermediates in VMEM
+_LANE_MAX_N = 8192      # lane kernel: chunked resampling past _FUSED_MAX_N
 
 
 def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt, N=0):
@@ -98,8 +99,9 @@ def _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt, N=0):
         return None
     if force == "xla":
         return "xla"
-    if N > _FUSED_MAX_N:
-        # The kernel's (N, N) one-hot/mask intermediates outgrow VMEM.
+    # Past _FUSED_MAX_N the kernel switches to chunked (128-row) resampling
+    # and gather primitives in (k, N) row layout; needs N % 128.
+    if N > _LANE_MAX_N or (N > _FUSED_MAX_N and N % 128):
         return None
     try:
         platform = jax.devices()[0].platform
@@ -153,7 +155,11 @@ def _use_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt, N=0):
     force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")
     if flag == "0" or force == "0" or constrain is not None:
         return None
-    if x_star.shape[-1] != 1 or N > _FUSED_MAX_N:
+    # Past the dense cap the kernel switches to chunked (128-row) resampling
+    # primitives (`csmc_fwd._rank_count_chunked` etc.), which need N % 128.
+    if x_star.shape[-1] != 1 or N > _LANE_MAX_N:
+        return None
+    if N > _FUSED_MAX_N and N % 128:
         return None
     if not (hasattr(Mt, "lane_propagate") and hasattr(Gt, "lane_logw")
             and hasattr(Mt, "sample_from_noise")
@@ -339,8 +345,8 @@ def _use_fused_backward(Pt, N=0):
         return None
     if force == "xla":
         return "xla"
-    if N > _FUSED_MAX_N:   # (N, N) cumsum/count masks outgrow VMEM
-        return None
+    if N > _LANE_MAX_N or (N > _FUSED_MAX_N and N % 128):
+        return None       # chunked row-layout kernel past the dense cap
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover

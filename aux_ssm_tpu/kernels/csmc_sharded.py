@@ -39,8 +39,14 @@ def get_sharded_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics,
 
     particle_sharding = NamedSharding(mesh, P(PARTICLES))
 
-    def constrain(z):
-        return jax.lax.with_sharding_constraint(z, particle_sharding)
+    if n_shards == 1:
+        # A 1-device particles mesh is plain single-chip execution; passing
+        # no constraint lets `forward_pass` take its fused Pallas paths
+        # (which are disabled under sharding constraints).
+        constrain = None
+    else:
+        def constrain(z):
+            return jax.lax.with_sharding_constraint(z, particle_sharding)
 
     def kernel(key, state):
         key_fwd, key_bwd = jax.random.split(key)

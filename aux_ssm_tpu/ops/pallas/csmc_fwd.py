@@ -56,6 +56,71 @@ def _row_from_col(x_col, N):
     return jnp.sum(jnp.where(eye, xb, 0.0), axis=0, keepdims=True)
 
 
+# --------------------------------------------------------------------------
+# Chunked large-N primitives: the dense kernel's (N, N) iota masks /
+# cumsum-matmul / one-hot gathers outgrow VMEM past N = 1024. These keep at
+# most a (128, N) tile live: the cumsum is a shift-add (Hillis-Steele) over
+# the lane axis, and the transpose / rank-count / gather walk the N sources
+# in 128-wide chunks (one (128, 128) masked-diagonal transpose + one
+# (1, 128) x (128, N) matmul per chunk).
+# --------------------------------------------------------------------------
+
+_DENSE_MAX_N = 1024
+_CHUNK = 128
+
+
+def _cumsum_lanes(x, N):
+    """Inclusive cumsum over the lane axis of a (1, N) row (shift-add)."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < N:
+        x = x + jnp.where(ids >= sh, pltpu.roll(x, sh, axis=x.ndim - 1),
+                          jnp.zeros_like(x))
+        sh *= 2
+    return x
+
+
+def _rank_count_chunked(cw, u, N):
+    """anc[j] = #{i : cw[i] < u[j]} for (1, N) rows, chunked over sources.
+    Chunks are static lane slices of the (1, N) row (no in-kernel lane
+    regrouping); each chunk is transposed to a column via one (128, 128)
+    masked-diagonal reduction."""
+    f32 = jnp.float32
+    nch = N // _CHUNK
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1))
+    U = jnp.broadcast_to(u, (_CHUNK, N))
+    ones = jnp.ones((1, _CHUNK), f32)
+    anc = jnp.zeros((1, N), f32)
+    for b in range(nch):
+        row_b = _slice(cw, b * _CHUNK, (b + 1) * _CHUNK, axis=1)  # (1, 128)
+        col_b = jnp.sum(jnp.where(eye, jnp.broadcast_to(row_b,
+                                                        (_CHUNK, _CHUNK)),
+                                  0.0), axis=1, keepdims=True)  # (128, 1)
+        lt = (jnp.broadcast_to(col_b, (_CHUNK, N)) < U).astype(f32)
+        anc = anc + jax.lax.dot_general(ones, lt, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+    return anc
+
+
+def _gather_rows_chunked(mat, anc, N):
+    """out[:, j] = mat[:, anc[j]] for an (m, N) row stack (anc f32 indices
+    in a (1, N) row), chunked one-hot: one (m, 128) x (128, N) matmul per
+    128-source chunk, all m payload rows gathered in the same pass."""
+    f32 = jnp.float32
+    m = mat.shape[0]
+    nch = N // _CHUNK
+    io_s = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, N), 0).astype(f32)
+    ancb = jnp.broadcast_to(anc, (_CHUNK, N))
+    out = jnp.zeros((m, N), f32)
+    for b in range(nch):
+        blk = _slice(mat, b * _CHUNK, (b + 1) * _CHUNK, axis=1)  # (m, 128)
+        oh = (ancb == io_s + f32(b * _CHUNK)).astype(f32)        # (128, N)
+        out = out + jax.lax.dot_general(blk, oh, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+    return out
+
+
 def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
                 logw_ref, anc_ref, w_scr, *, N, k, pgas):
     t = pl.program_id(0)
@@ -131,6 +196,64 @@ def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
     w_scr[:] = wn / jnp.sum(wn, axis=1, keepdims=True)
 
 
+def _fwd_kernel_chunked(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref,
+                        w0_ref, logw_ref, anc_ref, w_scr, *, N, k, pgas):
+    """Large-N factor kernel: rf/cf arrive transposed as (k, N) row stacks
+    so every per-particle quantity is a (1, N) lane row — no (N, N)
+    intermediates (shift-add cumsum, 128-chunk rank count and gathers)."""
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        w_scr[:] = w0_ref[:]
+
+    w = w_scr[:]
+    u = u_ref[0]
+    rf2 = rf_ref[0]                    # (k, N)
+    cf2 = cf_ref[0]                    # (k, N)
+    rb = rb_ref[0]                     # (1, N)
+    cb = cb_ref[0]                     # (1, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+    cw = _cumsum_lanes(w, N)
+    anc = jnp.minimum(_rank_count_chunked(cw, u, N), f32(N - 1))
+
+    if pgas:
+        sA = jnp.zeros((1, N), f32)
+        for kk in range(k):
+            rfk = _slice(rf2, kk, kk + 1, axis=0)             # (1, N)
+            cf0k = _slice(_slice(cf2, kk, kk + 1, axis=0), 0, 1, axis=1)
+            sA = sA + rfk * jnp.broadcast_to(cf0k, (1, N))
+        scoreA = jnp.log(jnp.maximum(w, 1e-37)) + rb + sA
+        mA = jnp.max(scoreA, axis=1, keepdims=True)
+        wA = jnp.exp(scoreA - mA)
+        cwA = _cumsum_lanes(wA, N)
+        ua = _slice(ua_ref[0], 0, 1, axis=1)
+        thresh = ua * _slice(cwA, N - 1, N, axis=1)
+        a0 = jnp.sum((cwA < jnp.broadcast_to(thresh, (1, N))).astype(f32),
+                     axis=1, keepdims=True)
+        a0 = jnp.minimum(a0, f32(N - 1))
+        anc = jnp.where(lane == 0, jnp.broadcast_to(a0, (1, N)), anc)
+    else:
+        anc = jnp.where(lane == 0, f32(0.0), anc)
+
+    # rb and the k rf rows gathered in one chunked pass.
+    payload = jnp.concatenate([rb, rf2], axis=0)               # (1+k, N)
+    g = _gather_rows_chunked(payload, anc, N)
+    log_w = cb + _slice(g, 0, 1, axis=0)
+    for kk in range(k):
+        log_w = log_w + (_slice(g, 1 + kk, 2 + kk, axis=0)
+                         * _slice(cf2, kk, kk + 1, axis=0))
+
+    logw_ref[0] = log_w
+    anc_ref[0] = anc
+
+    mW = jnp.max(log_w, axis=1, keepdims=True)
+    wn = jnp.exp(log_w - mW)
+    w_scr[:] = wn / jnp.sum(wn, axis=1, keepdims=True)
+
+
 @functools.partial(jax.jit, static_argnames=("pgas", "interpret"))
 def fused_forward_scan(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False,
                        interpret=False):
@@ -148,14 +271,25 @@ def fused_forward_scan(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False,
     row = lambda z: z[:, None, :].astype(f32)                     # (T-1, 1, N)
     ua = jnp.broadcast_to(anc_u[:, None, None], (Tm1, 1, N)).astype(f32)
 
-    mat_spec = pl.BlockSpec((1, N, k), lambda t: (t, 0, 0),
-                            memory_space=pltpu.VMEM)
+    chunked = N > _DENSE_MAX_N
+    if chunked:
+        # Row layout (k, N): the chunked kernel works entirely on lane rows.
+        rf_in = jnp.swapaxes(rf, 1, 2).astype(f32)                # (T-1, k, N)
+        cf_in = jnp.swapaxes(cf, 1, 2).astype(f32)
+        mat_spec = pl.BlockSpec((1, k, N), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        body = functools.partial(_fwd_kernel_chunked, N=N, k=k, pgas=pgas)
+    else:
+        rf_in, cf_in = rf.astype(f32), cf.astype(f32)
+        mat_spec = pl.BlockSpec((1, N, k), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        body = functools.partial(_fwd_kernel, N=N, k=k, pgas=pgas)
     row_spec = pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     w0_spec = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
 
     log_ws, anc = pl.pallas_call(
-        functools.partial(_fwd_kernel, N=N, k=k, pgas=pgas),
+        body,
         grid=(Tm1,),
         in_specs=[mat_spec, mat_spec, row_spec, row_spec, row_spec, row_spec,
                   w0_spec],
@@ -164,7 +298,7 @@ def fused_forward_scan(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False,
                    jax.ShapeDtypeStruct((Tm1, 1, N), f32)),
         scratch_shapes=[pltpu.VMEM((1, N), f32)],
         interpret=interpret,
-    )(rf.astype(f32), cf.astype(f32), row(rb), row(cb), row(res_u), ua,
+    )(rf_in, cf_in, row(rb), row(cb), row(res_u), ua,
       w0[None].astype(f32))
     return log_ws[:, 0], anc[:, 0].astype(jnp.int32)
 
@@ -241,6 +375,45 @@ def _bwd_kernel(rf_ref, cf_ref, rb_ref, lw_ref, u_ref, b0_ref,
     bh_scr[:] = (lane.astype(f32) == jnp.broadcast_to(B, (1, N))).astype(f32)
 
 
+def _bwd_kernel_chunked(rf_ref, cf_ref, rb_ref, lw_ref, u_ref, b0_ref,
+                        out_ref, bh_scr, *, N, k):
+    """Large-N backward step in (k, N) row layout — the selected next
+    particle's column factors reduce against the one-hot row elementwise,
+    so nothing here is bigger than a (1, N) lane row."""
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        bh_scr[:] = b0_ref[:]
+
+    bh = bh_scr[:]                     # (1, N) one-hot of B_{s+1}
+    rf2 = rf_ref[0]                    # (k, N)
+    cf2 = cf_ref[0]                    # (k, N)
+    rb = rb_ref[0]
+    lw = lw_ref[0]
+    u = _slice(u_ref[0], 0, 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+    score = lw + rb
+    for kk in range(k):
+        cfk = _slice(cf2, kk, kk + 1, axis=0)
+        sel_k = jnp.sum(bh * cfk, axis=1, keepdims=True)      # (1, 1)
+        score = score + (_slice(rf2, kk, kk + 1, axis=0)
+                         * jnp.broadcast_to(sel_k, (1, N)))
+
+    m = jnp.max(score, axis=1, keepdims=True)
+    w = jnp.exp(score - m)
+    cw = _cumsum_lanes(w, N)
+    thresh = u * _slice(cw, N - 1, N, axis=1)
+    B = jnp.sum((cw < jnp.broadcast_to(thresh, (1, N))).astype(f32),
+                axis=1, keepdims=True)
+    B = jnp.minimum(B, f32(N - 1))
+
+    out_ref[0] = jnp.broadcast_to(B, (1, N))
+    bh_scr[:] = (lane.astype(f32) == jnp.broadcast_to(B, (1, N))).astype(f32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_backward_scan(rf, cf, rb, log_ws, us, b_T, interpret=False):
     """Whiteley backward sampling as one reverse Pallas launch.
@@ -258,20 +431,29 @@ def fused_backward_scan(rf, cf, rb, log_ws, us, b_T, interpret=False):
     b0 = (jnp.arange(N) == b_T).astype(f32)[None]
 
     rev = lambda t: (Tm1 - 1 - t, 0, 0)
-    mat_spec = pl.BlockSpec((1, N, k), rev, memory_space=pltpu.VMEM)
+    chunked = N > _DENSE_MAX_N
+    if chunked:
+        rf_in = jnp.swapaxes(rf, 1, 2).astype(f32)            # (T-1, k, N)
+        cf_in = jnp.swapaxes(cf, 1, 2).astype(f32)
+        mat_spec = pl.BlockSpec((1, k, N), rev, memory_space=pltpu.VMEM)
+        body = functools.partial(_bwd_kernel_chunked, N=N, k=k)
+    else:
+        rf_in, cf_in = rf.astype(f32), cf.astype(f32)
+        mat_spec = pl.BlockSpec((1, N, k), rev, memory_space=pltpu.VMEM)
+        body = functools.partial(_bwd_kernel, N=N, k=k)
     row_spec = pl.BlockSpec((1, 1, N), rev, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, N), rev, memory_space=pltpu.VMEM)
     b0_spec = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
 
     picked = pl.pallas_call(
-        functools.partial(_bwd_kernel, N=N, k=k),
+        body,
         grid=(Tm1,),
         in_specs=[mat_spec, mat_spec, row_spec, row_spec, row_spec, b0_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Tm1, 1, N), f32),
         scratch_shapes=[pltpu.VMEM((1, N), f32)],
         interpret=interpret,
-    )(rf.astype(f32), cf.astype(f32), row(rb), row(log_ws), u_rows, b0)
+    )(rf_in, cf_in, row(rb), row(log_ws), u_rows, b0)
     return picked[:, 0, 0].astype(jnp.int32)
 
 
@@ -351,27 +533,35 @@ def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
     gt_p = _unflatten_params([r[0] for r in pr[n_m:n_m + n_g]], spec_g)
     pt_p = _unflatten_params([r[0] for r in pr[n_m + n_g:]], spec_p)
 
-    io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-    LT = (io0 <= io1).astype(f32)
+    dense = N <= _DENSE_MAX_N
 
-    cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)
-    cw_col = _col_from_row(cw, N)
-    lt_mask = (jnp.broadcast_to(cw_col, (N, N))
-               < jnp.broadcast_to(u, (N, N))).astype(f32)
-    anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32)
+    if dense:
+        io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        LT = (io0 <= io1).astype(f32)
+        cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        cw_col = _col_from_row(cw, N)
+        lt_mask = (jnp.broadcast_to(cw_col, (N, N))
+                   < jnp.broadcast_to(u, (N, N))).astype(f32)
+        anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+    else:
+        cw = _cumsum_lanes(w, N)
+        anc = _rank_count_chunked(cw, u, N)
     anc = jnp.minimum(anc, f32(N - 1))
 
     if pgas:
         scoreA = jnp.log(jnp.maximum(w, 1e-37)) + pgas_logpdf(x_star, x_prev, pt_p)
         mA = jnp.max(scoreA, axis=1, keepdims=True)
         wA = jnp.exp(scoreA - mA)
-        cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
+        if dense:
+            cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+        else:
+            cwA = _cumsum_lanes(wA, N)
         ua = _slice(ua_ref[0], 0, 1, axis=1)
         thresh = ua * _slice(cwA, N - 1, N, axis=1)
         a0 = jnp.sum((cwA < jnp.broadcast_to(thresh, (1, N))).astype(f32),
@@ -381,10 +571,13 @@ def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
     else:
         anc = jnp.where(lane == 0, f32(0.0), anc)
 
-    ancb = jnp.broadcast_to(anc, (N, N))
-    O = (io0.astype(f32) == ancb).astype(f32)
-    x_res = jax.lax.dot_general(x_prev, O, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)     # (1, N)
+    if dense:
+        ancb = jnp.broadcast_to(anc, (N, N))
+        O = (io0.astype(f32) == ancb).astype(f32)
+        x_res = jax.lax.dot_general(x_prev, O, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)  # (1, N)
+    else:
+        x_res = _gather_rows_chunked(x_prev, anc, N)
 
     x_t = propagate(eps, x_res, mt_p)
     x_t = jnp.where(lane == 0, x_star, x_t)

@@ -141,13 +141,27 @@ def config5():
         def sample(self, key, x_t, p):
             return 0.9 * x_t + 0.5 * jax.random.normal(key, x_t.shape)
 
+        def sample_from_noise(self, eps, x_t, p):
+            return 0.9 * x_t + 0.5 * eps
+
         def logpdf(self, x_n, x_t, p):
             return jnp.sum(norm.logpdf(x_n, 0.9 * x_t, 0.5), -1)
+
+        # (1, N) lane-row callables: the bootstrap sweep runs inside one
+        # Pallas launch (csmc_fwd.lane_forward_scan, chunked at N = 4096).
+        def lane_propagate(self, eps, x_prev, _p):
+            return 0.9 * x_prev + 0.5 * eps
+
+        def lane_logpdf(self, x_next, x_prev, _p):
+            return norm.logpdf(x_next, 0.9 * x_prev, 0.5)
 
     @chex.dataclass
     class Gt(Potential):
         def __call__(self, x_n, x_t, y):
             return jnp.sum(norm.logpdf(y, x_n, 0.5), -1)
+
+        def lane_logw(self, x_next, _x_prev, y):
+            return norm.logpdf(y, x_next, 0.5)
 
     ys = jnp.zeros((T - 1, 1))
     init, kernel = get_sharded_kernel(

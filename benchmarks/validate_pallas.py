@@ -275,6 +275,31 @@ def main(sections=None):
             check(f"csmc_fwd.lane.{tag}.xs", np.asarray(xs_p)[m],
                   np.asarray(xs_x)[m], atol=1e-4, rtol=1e-4)
 
+        # Chunked large-N lane path (shift-add cumsum + 128-row rank
+        # count/gather; engages past csmc.csmc._FUSED_MAX_N).
+        Tc, Nc = 12, 2048
+        res_uc = jnp.asarray(rng.uniform(size=(Tc - 1, Nc)), f32)
+        anc_uc = jnp.asarray(rng.uniform(size=(Tc - 1,)), f32)
+        epsc = jnp.asarray(rng.standard_normal((Tc - 1, Nc)), f32)
+        x_starc = jnp.asarray(rng.standard_normal(Tc - 1), f32)
+        x0c = jnp.asarray(rng.standard_normal(Nc), f32)
+        w0c = jnp.full((Nc,), 1.0 / Nc, f32)
+        _, ysc = tl.get_data(jax.random.key(2), Tc)
+        M0c, G0c, Mtc, Gtc = tl.get_feynman_kac(ysc)
+        for pgas in (False, True):
+            pg = Mtc.lane_logpdf if pgas else None
+            ptp = Mtc.params if pgas else None
+            args = (Mtc.lane_propagate, Gtc.lane_logw, pg, Mtc.params,
+                    Gtc.params, ptp, epsc, res_uc, anc_uc, x_starc, x0c, w0c)
+            xs_p, lw_p, anc_p = CF.lane_forward_scan(*args)
+            xs_x, lw_x, anc_x = CF.lane_scan_xla(*args)
+            tag = "pgas" if pgas else "plain"
+            agree(f"csmc_fwd.lane_chunked.{tag}.anc", anc_p, anc_x,
+                  min_frac=0.99)
+            m = (np.asarray(anc_p) == np.asarray(anc_x)).all(axis=1)
+            check(f"csmc_fwd.lane_chunked.{tag}.xs", np.asarray(xs_p)[m],
+                  np.asarray(xs_x)[m], atol=1e-4, rtol=1e-4)
+
     print()
     if FAILED:
         print(f"FAILED ({len(FAILED)}): {FAILED}")

@@ -38,9 +38,10 @@ def _factor_inputs(T=24, N=32, k=2, seed=0, peaked=False):
 
 
 @pytest.mark.parametrize("pgas", [False, True])
-@pytest.mark.parametrize("N", [16, 32, 200])
+@pytest.mark.parametrize("N", [16, 32, 200, 2048])
 def test_pallas_matches_xla_factor_scan(pgas, N):
-    inputs = _factor_inputs(N=N, seed=N)
+    """N = 2048 exercises the chunked (k, N)-row-layout kernel path."""
+    inputs = _factor_inputs(T=6 if N > 1024 else 24, N=N, seed=N)
     lw_p, anc_p = csmc_fwd.fused_forward_scan(*inputs, pgas=pgas, interpret=True)
     lw_x, anc_x = csmc_fwd.factor_scan_xla(*inputs, pgas=pgas)
     # cumsum orders differ (triangular matmul vs jnp.cumsum): allow rare
@@ -161,11 +162,12 @@ def test_fused_chain_invariance():
     np.testing.assert_allclose(xs.std(0), std, rtol=0.15)
 
 
-@pytest.mark.parametrize("N", [16, 64])
+@pytest.mark.parametrize("N", [16, 64, 2048])
 def test_backward_pallas_matches_xla(N):
+    """N = 2048 exercises the chunked (k, N)-row-layout backward kernel."""
     from aux_ssm_tpu.ops.pallas.csmc_fwd import (
         fused_backward_scan, backward_factor_scan_xla)
-    T, k = 20, 3
+    T, k = (20, 3) if N <= 1024 else (6, 3)
     rng = np.random.default_rng(N)
     rf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * 0.5, jnp.float32)
     cf = jnp.asarray(rng.standard_normal((T - 1, N, k)) * 0.5, jnp.float32)
@@ -243,11 +245,14 @@ def test_lane_scan_matches_generic_forward(pgas):
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("pgas", [False, True])
-def test_lane_pallas_matches_xla(pgas):
+@pytest.mark.parametrize("pgas,N", [(False, 24), (True, 24),
+                                    (False, 2048), (True, 2048)])
+def test_lane_pallas_matches_xla(pgas, N):
+    """N = 24 exercises the dense (N, N) kernel path; N = 2048 the chunked
+    large-N path (shift-add cumsum + 128-row rank-count/gather)."""
     from aux_ssm_tpu.ops.pallas.csmc_fwd import lane_forward_scan, lane_scan_xla
     from aux_ssm_tpu.models import theta_logistic as tl
-    T, N = 20, 24
+    T = 20 if N <= 128 else 6
     ys, M0, G0, Mt, Gt = _tl_setup(T, N, seed=2)
     rng = np.random.default_rng(3)
     eps = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
