@@ -1,0 +1,40 @@
+"""End-to-end smoke tests of the experiment driver CLIs on tiny configs:
+each `main()` must run the full pipeline (data gen, kernel build, adapted
+burn-in + sampling, analysis summaries, .npz export) without error."""
+import numpy as np
+import pytest
+
+
+def _common(tmp_path, extra):
+    return [
+        "--n-samples", "30", "--burnin", "10", "--no-verbose",
+        "--platform", "cpu", "--seed", "1",
+        "--out", str(tmp_path / "out.npz"),
+    ] + extra
+
+
+@pytest.mark.parametrize("style", ["kalman-1", "kalman-2", "csmc",
+                                   "csmc-guided"])
+def test_sv_driver_all_styles(tmp_path, style):
+    from aux_ssm_tpu.experiments import sv
+    res = sv.main(_common(tmp_path, ["--style", style, "--T", "16",
+                                     "--D", "2", "--N", "8"]))
+    assert np.isfinite(np.asarray(res.samples)).all()
+    out = np.load(tmp_path / "out.npz")
+    assert out["samples_mean"].shape == (16, 2)
+
+
+def test_spatial_driver(tmp_path):
+    from aux_ssm_tpu.experiments import spatial
+    res = spatial.main(_common(tmp_path, ["--style", "kalman-2", "--T", "12",
+                                          "--D", "3"]))
+    assert np.isfinite(np.asarray(res.stats.mean_x)).all()
+    assert np.isfinite(np.asarray(res.stats.ejsd)).all()
+
+
+def test_lorenz_driver(tmp_path):
+    from aux_ssm_tpu.experiments import lorenz
+    out = lorenz.main(_common(tmp_path, ["--n-steps", "32", "--freq", "2",
+                                         "--n-samples", "20",
+                                         "--burnin", "10"]))
+    assert out is not None
