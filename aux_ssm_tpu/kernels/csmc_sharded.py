@@ -10,16 +10,21 @@ all-gather+dynamic-slice over ICI. The categorical indices are computed from
 replicated normalised weights, so the draw is bitwise identical to the
 single-chip kernel with the same key.
 
-The backward pass (O(T N) gathers on stored trajectories) runs replicated —
-it is a negligible fraction of the per-step work at the target scales.
+The backward passes run sharded too (`shard_map` over the particle axis):
+the stored (T, N, d) trajectory array never materialises on one chip — per
+step only the (N,) weight row is all-gathered (so the categorical draw is
+bitwise identical to the single-chip kernel) and the one chosen particle row
+travels by masked psum. Peak per-chip trajectory footprint is T·N·d/S.
 """
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
 
 from .csmc import forward_pass, backward_scanning_pass, backward_sampling_pass
 from .csmc_base import CSMCState, Distribution, UnivariatePotential, Dynamics, Potential
 from ..ops import resampling as resampling_mod
+from ..ops.logspace import normalize
 from ..parallel.mesh import PARTICLES
 
 
@@ -53,10 +58,17 @@ def get_sharded_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics,
         w_T, xs, log_ws, ancestors = forward_pass(
             key_fwd, state.x, M0, G0, Mt, Gt, N, resample, constrain=constrain
         )
-        if backward:
-            x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
+        if n_shards == 1:
+            if backward:
+                x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
+            else:
+                x, picked = backward_scanning_pass(key_bwd, w_T, xs, ancestors)
+        elif backward:
+            x, picked = sharded_backward_sampling_pass(
+                mesh, key_bwd, Pt, w_T, xs, log_ws)
         else:
-            x, picked = backward_scanning_pass(key_bwd, w_T, xs, ancestors)
+            x, picked = sharded_backward_scanning_pass(
+                mesh, key_bwd, w_T, xs, ancestors)
         return CSMCState(x=x, updated=picked != 0)
 
     def init(x_star):
@@ -64,3 +76,83 @@ def get_sharded_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics,
         return CSMCState(x=x_star, updated=jnp.zeros((T,), dtype=bool))
 
     return init, kernel
+
+
+def _fetch_row(axis, shard, local, pos_global):
+    """Row `pos_global` of an array whose leading axis is sharded over
+    `axis`: the owning shard contributes it, everyone receives it by psum."""
+    local_n = local.shape[0]
+    owner, pos = pos_global // local_n, pos_global % local_n
+    row = jnp.where(shard == owner, local[pos], jnp.zeros_like(local[0]))
+    return jax.lax.psum(row, axis)
+
+
+def sharded_backward_sampling_pass(mesh, key, Pt: Dynamics, w_T, xs, log_ws,
+                                   axis=PARTICLES):
+    """Whiteley backward sampling with the particle axis of `xs`/`log_ws`
+    sharded over `axis`. Per step, the (N,) smoothing-weight row is
+    all-gathered (bytes on the wire) so the categorical draw runs on the
+    exact full-order weight vector — bitwise identical to the single-chip
+    `backward_sampling_pass` for the same key — while the (T, N, d)
+    trajectory block stays sharded; the chosen row travels by masked psum."""
+    T = log_ws.shape[0]
+    us = jax.random.uniform(key, (T,), dtype=log_ws.dtype)
+
+    def body(w_T_, us_, xs_l, log_ws_l, params):
+        shard = jax.lax.axis_index(axis)
+        B_T = resampling_mod.categorical_from_uniform(us_[-1], w_T_)
+        x_T = _fetch_row(axis, shard, xs_l[-1], B_T)
+
+        def step(x_next, inp):
+            u_t, xs_t_l, log_w_t_l, params_t = inp
+            lw_l = Pt.logpdf(x_next, xs_t_l, params_t) + log_w_t_l
+            lw = jax.lax.all_gather(lw_l, axis, tiled=True)
+            B_t = resampling_mod.categorical_from_uniform(u_t, normalize(lw))
+            x_t = _fetch_row(axis, shard, xs_t_l, B_t)
+            return x_t, (x_t, B_t)
+
+        inputs = (us_[:-1], xs_l[:-1], log_ws_l[:-1], params)
+        _, (traj, picked) = jax.lax.scan(step, x_T, inputs, reverse=True)
+        traj = jnp.concatenate([traj, x_T[None]], axis=0)
+        picked = jnp.concatenate([picked, B_T[None]], axis=0)
+        return traj, picked
+
+    # check_vma=False: every shard provably computes identical outputs (the
+    # draw runs on the all-gathered weight row; rows arrive by psum), but the
+    # replication can't be statically inferred through the scan.
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )(w_T, us, xs, log_ws, Pt.params)
+
+
+def sharded_backward_scanning_pass(mesh, key, w_T, xs, ancestors,
+                                   axis=PARTICLES):
+    """Genealogy trace with `xs` (T, N, d) and `ancestors` (T-1, N) sharded
+    over `axis`: a sequential O(T) pointer chase where each lookup moves one
+    int / one row by masked psum. Integer arithmetic — picks are bitwise
+    identical to the single-chip `backward_scanning_pass`."""
+
+    def body(key_, w_T_, xs_l, anc_l):
+        shard = jax.lax.axis_index(axis)
+        B_T = jax.random.choice(key_, w_T_.shape[0], p=w_T_).astype(jnp.int32)
+        x_T = _fetch_row(axis, shard, xs_l[-1], B_T)
+
+        def step(B_next, inp):
+            anc_t_l, xs_t_l = inp
+            B_t = _fetch_row(axis, shard, anc_t_l.astype(jnp.int32), B_next)
+            x_t = _fetch_row(axis, shard, xs_t_l, B_t)
+            return B_t, (x_t, B_t)
+
+        _, (traj, picked) = jax.lax.scan(step, B_T, (anc_l, xs_l[:-1]),
+                                         reverse=True)
+        traj = jnp.concatenate([traj, x_T[None]], axis=0)
+        picked = jnp.concatenate([picked, B_T[None]], axis=0)
+        return traj, picked
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis)),
+        out_specs=(P(), P()),
+    )(key, w_T, xs, ancestors)

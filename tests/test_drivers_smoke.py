@@ -1,8 +1,22 @@
 """End-to-end smoke tests of the experiment driver CLIs on tiny configs:
 each `main()` must run the full pipeline (data gen, kernel build, adapted
 burn-in + sampling, analysis summaries, .npz export) without error."""
+import jax
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_config():
+    """The drivers' `apply_backend` mutates global jax config (x64 off,
+    matmul precision); restore it so later oracle tests keep x64."""
+    keys = ("jax_enable_x64", "jax_default_matmul_precision",
+            "jax_platforms", "jax_disable_jit", "jax_debug_nans")
+    saved = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in saved.items():
+        if getattr(jax.config, k) != v:
+            jax.config.update(k, v)
 
 
 def _common(tmp_path, extra):
@@ -30,6 +44,17 @@ def test_spatial_driver(tmp_path):
                                           "--D", "3"]))
     assert np.isfinite(np.asarray(res.stats.mean_x)).all()
     assert np.isfinite(np.asarray(res.stats.ejsd)).all()
+
+
+def test_rare_event_driver(tmp_path):
+    from aux_ssm_tpu.experiments import rare_event
+    rows = rare_event.main([
+        "--style", "kalman-1", "--T", "2", "--grid-size", "2",
+        "--n-chains", "2", "--n-samples", "40", "--burnin", "10",
+        "--no-verbose", "--platform", "cpu", "--seed", "1",
+        "--out", str(tmp_path / "grid.csv")])
+    assert len(rows) == 4
+    assert all(np.isfinite(r["ess_T"]) for r in rows)
 
 
 def test_lorenz_driver(tmp_path):

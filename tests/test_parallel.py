@@ -40,6 +40,23 @@ def test_sharded_resample_bitwise(pmesh, scheme):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("scheme", [multinomial, systematic])
+def test_sharded_resample_streaming_bitwise(pmesh, scheme):
+    from aux_ssm_tpu.parallel.resampling import (
+        sharded_conditional_resample_streaming)
+    rng = np.random.default_rng(7)
+    N, d = 64, 3
+    w = rng.uniform(size=N)
+    w = jnp.asarray(w / w.sum())
+    particles = jnp.asarray(rng.standard_normal((N, d)))
+    key = jax.random.key(5)
+
+    want = jnp.take(particles, scheme(key, w), axis=0)
+    got = sharded_conditional_resample_streaming(pmesh, key, w, particles,
+                                                 scheme=scheme)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_sharded_normalize(pmesh):
     rng = np.random.default_rng(1)
     lw = jnp.asarray(rng.standard_normal(64) * 5)
@@ -47,9 +64,11 @@ def test_sharded_normalize(pmesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(normalize(lw)), rtol=1e-12)
 
 
-def test_sharded_csmc_matches_single(pmesh):
-    """The GSPMD-sharded cSMC kernel must be bitwise identical to the
-    single-device kernel for the same key."""
+@pytest.mark.parametrize("backward", [False, True])
+def test_sharded_csmc_matches_single(pmesh, backward):
+    """The GSPMD-sharded cSMC kernel (sharded forward AND sharded backward
+    passes) must be bitwise identical to the single-device kernel for the
+    same key."""
     import csmc_common as cc
     from aux_ssm_tpu.kernels.csmc import get_kernel
     from aux_ssm_tpu.kernels.csmc_sharded import get_sharded_kernel
@@ -61,8 +80,9 @@ def test_sharded_csmc_matches_single(pmesh):
     ys = jnp.asarray(np.random.default_rng(0).standard_normal((T - 1, D)))
     Gt = cc.GaussianObsGt(params=(ys, jnp.full((T - 1, D), 0.4)))
 
-    init, kernel = get_kernel(M0, G0, Mt, Gt, N)
-    init_s, kernel_s = get_sharded_kernel(M0, G0, Mt, Gt, N, pmesh)
+    init, kernel = get_kernel(M0, G0, Mt, Gt, N, backward=backward)
+    init_s, kernel_s = get_sharded_kernel(M0, G0, Mt, Gt, N, pmesh,
+                                          backward=backward)
 
     state = init(jnp.zeros((T, D)))
     key = jax.random.key(9)
