@@ -235,15 +235,20 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
         ``Mt.sample`` when absent);
       * PGAS ancestor draws: (T-1,) uniforms -> inverse CDF.
     """
-    fused_mode = _use_fused_forward(Mt, Gt, resample, constrain, ancestor_Pt, N)
-    if fused_mode:
-        return _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
-                                   on_tpu=fused_mode == "pallas")
-    lane_mode = _use_lane_forward(x_star, Mt, Gt, resample, constrain,
-                                  ancestor_Pt, N)
-    if lane_mode:
-        return _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
-                                  on_tpu=lane_mode == "pallas")
+    if x_star.shape[0] >= 2:   # T==1: fused paths would take w_T from an
+        # empty (0, N) log-weight stack; the generic path degrades correctly.
+        fused_mode = _use_fused_forward(Mt, Gt, resample, constrain,
+                                        ancestor_Pt, N)
+        if fused_mode:
+            return _fused_forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                       ancestor_Pt,
+                                       on_tpu=fused_mode == "pallas")
+        lane_mode = _use_lane_forward(x_star, Mt, Gt, resample, constrain,
+                                      ancestor_Pt, N)
+        if lane_mode:
+            return _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                      ancestor_Pt,
+                                      on_tpu=lane_mode == "pallas")
 
     if constrain is None:
         constrain = lambda z: z

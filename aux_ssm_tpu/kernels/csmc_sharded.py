@@ -60,7 +60,17 @@ def get_sharded_kernel(M0: Distribution, G0: UnivariatePotential, Mt: Dynamics,
         )
         if n_shards == 1:
             if backward:
-                x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs, log_ws)
+                # Same dispatch as csmc.get_kernel: a 1-device particles mesh
+                # should reach the fused Pallas backward pass too.
+                from .csmc import _use_fused_backward, _fused_backward_pass
+                bwd_mode = _use_fused_backward(Pt, N)
+                if bwd_mode:
+                    x, picked = _fused_backward_pass(
+                        key_bwd, Pt, w_T, xs, log_ws,
+                        on_tpu=bwd_mode == "pallas")
+                else:
+                    x, picked = backward_sampling_pass(key_bwd, Pt, w_T, xs,
+                                                       log_ws)
             else:
                 x, picked = backward_scanning_pass(key_bwd, w_T, xs, ancestors)
         elif backward:

@@ -397,6 +397,12 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
 
     sels = []                       # per level: (L, R, n_act) with L/R (n_act, N)
     root = None
+    # A step's initial importance weights enter the pair weights at the FIRST
+    # level where it serves as a node boundary (for every step but the last
+    # of an odd S that is level 0; the odd tail step only joins at the unique
+    # level where S-1 = odd * 2^k). After a step has been stitched once its
+    # weights are uniform. Static host-side bookkeeping: mids are NumPy.
+    consumed = np.zeros(S, dtype=bool)
     for k in range(K):
         block = 1 << k
         mids_all = (2 * np.arange(pow2 // (2 * block)) + 1) * block
@@ -411,13 +417,15 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
         sig_r = _boundary_sigma(rights, k, sels, N)
         xl = take_rows(left_vals[lefts], sig_l)
         xr = take_rows(right_vals[rights], sig_r)
-        # Initial importance weights enter at level 0 (every step is then a
-        # boundary); after any stitching the weights are uniform.
-        if log_wts is not None and k == 0:
-            lw_l, lw_r = log_wts[lefts], log_wts[rights]
+        if log_wts is not None:
+            fresh_l = jnp.asarray(~consumed[lefts])[:, None]
+            fresh_r = jnp.asarray(~consumed[rights])[:, None]
+            lw_l = jnp.where(fresh_l, log_wts[lefts], 0.0)
+            lw_r = jnp.where(fresh_r, log_wts[rights], 0.0)
         else:
             lw_l = jnp.zeros((n_act, N), left_vals.dtype)
             lw_r = jnp.zeros((n_act, N), left_vals.dtype)
+        consumed[lefts] = consumed[rights] = True
         node_keys = step_keys[rights]
         params_r = jax.tree.map(lambda z: z[rights], params)
         last = include_root and k == K - 1

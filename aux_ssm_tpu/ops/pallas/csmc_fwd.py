@@ -99,7 +99,8 @@ def _rank_count_chunked(cw, u, N):
                                   0.0), axis=1, keepdims=True)  # (128, 1)
         lt = (jnp.broadcast_to(col_b, (_CHUNK, N)) < U).astype(f32)
         anc = anc + jax.lax.dot_general(ones, lt, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=f32)
+                                        preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
     return anc
 
 
@@ -117,7 +118,8 @@ def _gather_rows_chunked(mat, anc, N):
         blk = _slice(mat, b * _CHUNK, (b + 1) * _CHUNK, axis=1)  # (m, 128)
         oh = (ancb == io_s + f32(b * _CHUNK)).astype(f32)        # (128, N)
         out = out + jax.lax.dot_general(blk, oh, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=f32)
+                                        preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
     return out
 
 
@@ -145,13 +147,15 @@ def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
     # Conditional multinomial: anc[j] = #{i : cumsum(w)[i] < u[j]}, lane 0
     # pinned (the law of `resampling.multinomial_from_uniforms`).
     cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)          # (1, N)
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)          # (1, N)
     cw_col = _col_from_row(cw, N)
     lt_mask = (jnp.broadcast_to(cw_col, (N, N))
                < jnp.broadcast_to(u, (N, N))).astype(f32)
     anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
                               (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32)         # (1, N)
+                              preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)         # (1, N)
     anc = jnp.minimum(anc, f32(N - 1))
 
     if pgas:
@@ -165,7 +169,8 @@ def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
         mA = jnp.max(scoreA, axis=1, keepdims=True)
         wA = jnp.exp(scoreA - mA)
         cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
+                                  preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
         ua = _slice(ua_ref[0], 0, 1, axis=1)                      # (1, 1)
         thresh = ua * _slice(cwA, N - 1, N, axis=1)
         a0 = jnp.sum((cwA < jnp.broadcast_to(thresh, (1, N))).astype(f32),
@@ -179,11 +184,13 @@ def _fwd_kernel(rf_ref, cf_ref, rb_ref, cb_ref, u_ref, ua_ref, w0_ref,
     ancb = jnp.broadcast_to(anc, (N, N))
     O = (io0.astype(f32) == ancb).astype(f32)                     # O[i,j]=[anc_j=i]
     rb_g = jax.lax.dot_general(rb, O, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)        # (1, N)
+                               preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)        # (1, N)
     anc_col = _col_from_row(anc, N)
     OT = (jnp.broadcast_to(anc_col, (N, N)) == io1.astype(f32)).astype(f32)
     rf_g = jax.lax.dot_general(OT, rf, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)        # (N, k)
+                               preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)        # (N, k)
 
     s_col = jnp.sum(rf_g * cf, axis=1, keepdims=True)             # (N, 1)
     log_w = cb + rb_g + _row_from_col(s_col, N)                   # (1, N)
@@ -314,7 +321,7 @@ def factor_scan_xla(rf, cf, rb, cb, res_u, anc_u, w0, pgas=False):
         anc = jnp.searchsorted(cw, u_t).astype(jnp.int32)
         anc = jnp.clip(anc, 0, N - 1)
         if pgas:
-            scoreA = jnp.log(jnp.maximum(w, 1e-37)) + rb_t + rf_t @ cf_t[0]
+            scoreA = jnp.log(jnp.maximum(w, 1e-37)) + rb_t + jnp.matmul(rf_t, cf_t[0], precision=jax.lax.Precision.HIGHEST)
             wA = jnp.exp(scoreA - jnp.max(scoreA))
             cwA = jnp.cumsum(wA)
             a0 = jnp.sum(cwA < ua_t * cwA[-1]).astype(jnp.int32)
@@ -357,7 +364,8 @@ def _bwd_kernel(rf_ref, cf_ref, rb_ref, lw_ref, u_ref, b0_ref,
     LT = (io0 <= io1).astype(f32)
 
     cf_sel = jax.lax.dot_general(bh, cf, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32)      # (1, k)
+                                 preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)      # (1, k)
     s_col = jnp.sum(rf * jnp.broadcast_to(cf_sel, (N, k)),
                     axis=1, keepdims=True)                        # (N, 1)
     score = lw + rb + _row_from_col(s_col, N)                     # (1, N)
@@ -365,7 +373,8 @@ def _bwd_kernel(rf_ref, cf_ref, rb_ref, lw_ref, u_ref, b0_ref,
     m = jnp.max(score, axis=1, keepdims=True)
     w = jnp.exp(score - m)
     cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
     thresh = u * _slice(cw, N - 1, N, axis=1)
     B = jnp.sum((cw < jnp.broadcast_to(thresh, (1, N))).astype(f32),
                 axis=1, keepdims=True)
@@ -461,7 +470,7 @@ def backward_factor_scan_xla(rf, cf, rb, log_ws, us, b_T):
     """XLA reference/fallback of `fused_backward_scan` (same algebra)."""
     def body(b_next, inp):
         rf_t, cf_t, rb_t, lw_t, u_t = inp
-        score = lw_t + rb_t + rf_t @ cf_t[b_next]
+        score = lw_t + rb_t + jnp.matmul(rf_t, cf_t[b_next], precision=jax.lax.Precision.HIGHEST)
         w = jnp.exp(score - jnp.max(score))
         cw = jnp.cumsum(w)
         b = jnp.sum(cw < u_t * cw[-1]).astype(jnp.int32)
@@ -541,13 +550,15 @@ def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
         io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
         LT = (io0 <= io1).astype(f32)
         cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
+                                 preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
         cw_col = _col_from_row(cw, N)
         lt_mask = (jnp.broadcast_to(cw_col, (N, N))
                    < jnp.broadcast_to(u, (N, N))).astype(f32)
         anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
                                   (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
+                                  preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
     else:
         cw = _cumsum_lanes(w, N)
         anc = _rank_count_chunked(cw, u, N)
@@ -559,7 +570,8 @@ def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
         wA = jnp.exp(scoreA - mA)
         if dense:
             cwA = jax.lax.dot_general(wA, LT, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
+                                      preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
         else:
             cwA = _cumsum_lanes(wA, N)
         ua = _slice(ua_ref[0], 0, 1, axis=1)
@@ -575,7 +587,8 @@ def _lane_fwd_kernel(*refs, propagate, logw, pgas_logpdf, spec_m, spec_g,
         ancb = jnp.broadcast_to(anc, (N, N))
         O = (io0.astype(f32) == ancb).astype(f32)
         x_res = jax.lax.dot_general(x_prev, O, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=f32)  # (1, N)
+                                    preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)  # (1, N)
     else:
         x_res = _gather_rows_chunked(x_prev, anc, N)
 

@@ -60,13 +60,19 @@ def _systematic_core(u_mix, u_off, u_rot, weights, N=None):
 
     pick_low = u_mix * copies < part * (whole + 1.0)
     offset = jnp.where(pick_low, part * u_off, part + (1.0 - part) * u_off)
+    # Degenerate conditioning: if w_0 underflowed to exactly 0 (reference
+    # particle ~88 nats below the max in f32), the event "at least one copy
+    # of particle 0" has numerical probability 0 and the mixture above keeps
+    # the pin only with offset 0 — force it so slot 0 still maps to index 0.
+    offset = jnp.where(copies > 0.0, offset, 0.0)
 
     positions = (offset + jnp.arange(N, dtype=weights.dtype)) / N
     idx = jnp.searchsorted(jnp.cumsum(weights), positions).astype(jnp.int32)
 
     n0 = jnp.sum(idx == 0)
     chosen = jnp.floor(n0 * u_rot).astype(jnp.int32)
-    return jnp.clip(jnp.roll(idx, -chosen), 0, M - 1)
+    idx = jnp.clip(jnp.roll(idx, -chosen), 0, M - 1)
+    return idx.at[0].set(0)      # invariant, belt-and-braces for fp edges
 
 
 def systematic(key, weights, N=None):

@@ -118,3 +118,35 @@ def test_backward_scanning_matches_sequential_trace():
             np.asarray(traj),
             np.stack([np.asarray(xs[t, picked_ref[t]]) for t in range(T_)]),
         )
+
+
+def test_csmc_T1_final_weight_respects_G0(monkeypatch):
+    """Regression: T==1 must not take the fused factor path (whose w_T would
+    come from an empty log-weight stack) — the final draw must follow
+    normalize(G0(x0)), not a uniform. G0 here puts all mass near x=4."""
+    monkeypatch.setenv("AUX_SSM_FUSED_CSMC", "xla")
+    import chex
+    from jax.scipy.stats import norm
+    from aux_ssm_tpu.kernels.csmc_base import UnivariatePotential
+
+    @chex.dataclass
+    class PeakedG0(UnivariatePotential):
+        def __call__(self, x):
+            return jnp.sum(norm.logpdf(x, 4.0, 0.1), axis=-1)
+
+    D = 1
+    M0 = GaussianM0(m0=jnp.zeros(D), sig0=jnp.full(D, 2.0))
+    Mt = ARDynamics(params=(jnp.zeros((0, D)), jnp.ones((0, D))))
+    Gt = GaussianObsGt(params=(jnp.zeros((0, D)), jnp.ones((0, D))))
+    init, kernel = get_kernel(M0, PeakedG0(), Mt, Gt, N=256)
+    st = init(jnp.zeros((1, D)))
+
+    def body(s, k):
+        s = kernel(k, s)
+        return s, s.x[0, 0]
+
+    keys = jax.random.split(jax.random.key(0), 400)
+    _, xs = jax.jit(lambda s, k: jax.lax.scan(body, s, k))(st, keys)
+    xs = np.asarray(xs)[100:]
+    # Posterior = N(0,4) prior x N(4, .01) likelihood => mean ~3.99
+    assert abs(xs.mean() - 4.0) < 0.3, xs.mean()

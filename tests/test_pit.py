@@ -125,6 +125,47 @@ def test_pit_csmc_invariance(with_qt, fused, blocked, monkeypatch):
     np.testing.assert_allclose(xs.std(0), std, rtol=0.15)
 
 
+@pytest.mark.parametrize("T_odd", [3, 5])
+def test_pit_odd_T_tail_importance_weights(T_odd):
+    """Regression: with odd T the last step never serves as a level-0
+    boundary — its initial importance weights must still enter at the first
+    level where it joins the tree. With flat potentials and Qt given, the
+    kernel's invariant law is the independent Qt marginals: the chain mean
+    at EVERY step (including t = T-1) must move to Qt's location."""
+    import chex
+    from jax.scipy.stats import norm
+    from aux_ssm_tpu.kernels.csmc_base import UnivariatePotential, Potential
+
+    loc = np.zeros((T_odd, 1))
+    loc[0, 0], loc[-1, 0] = 2.0, 3.0
+    Mt = DiagonalGaussian(loc=jnp.zeros((T_odd, 1)), scale=jnp.ones(T_odd))
+    Qt = DiagonalGaussian(loc=jnp.asarray(loc), scale=jnp.ones(T_odd))
+
+    @chex.dataclass
+    class G0(UnivariatePotential):
+        def __call__(self, x):
+            return jnp.zeros(x.shape[:-1])
+
+    @chex.dataclass
+    class Gt(Potential):
+        def __call__(self, x_next, x_t, _):
+            return jnp.zeros(x_next.shape[:-1])
+
+    init, kernel = get_kernel(Mt, G0(), Gt(params=jnp.zeros((T_odd - 1, 1))),
+                              64, Qt=Qt)
+    st = init(jnp.zeros((T_odd, 1)))
+
+    def body(s, k):
+        s = kernel(k, s)
+        return s, s.x[:, 0]
+
+    keys = jax.random.split(jax.random.key(2), 1500)
+    _, xs = jax.jit(lambda s, k: jax.lax.scan(body, s, k))(st, keys)
+    xs = np.asarray(xs)[300:]
+    se = 1.0 / np.sqrt(len(xs) / 10)          # ESS-aware MC error
+    np.testing.assert_allclose(xs.mean(0), loc[:, 0], atol=6 * se)
+
+
 def test_pit_kernel_runs_non_pow2():
     """T not a power of two exercises the passthrough path."""
     T_odd = 5

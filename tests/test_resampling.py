@@ -22,6 +22,19 @@ def test_index_zero_pinned(scheme):
         assert (idx >= 0).all() and (idx <= 15).all()
 
 
+@pytest.mark.parametrize("scheme", [multinomial, systematic])
+def test_index_zero_pinned_underflowed_reference(scheme):
+    """Regression: the reference particle's weight can underflow to exactly
+    0 in f32 (log-weight ~88 nats below the max); the conditional pin must
+    survive the degenerate case."""
+    w = np.zeros(16)
+    w[1:] = 1.0 / 15
+    w = jnp.asarray(w, jnp.float32)
+    for s in range(50):
+        idx = scheme(jax.random.key(s), w)
+        assert idx[0] == 0
+
+
 def test_multinomial_marginal_frequencies():
     """Positions 1..N-1 of conditional multinomial are iid categorical(w)."""
     rng = np.random.default_rng(1)
