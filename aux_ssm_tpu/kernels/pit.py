@@ -200,15 +200,6 @@ def _use_fused_draws():
     return os.environ.get("AUX_SSM_FUSED_DRAWS", "1") != "0"
 
 
-def _rows_from_uniforms(logits, u):
-    """n iid categorical draws over N from unnormalised log-probs."""
-    m = jnp.max(logits)
-    w = jnp.exp(logits - m)
-    cdf = jnp.cumsum(w)
-    idx = jnp.searchsorted(cdf, u * cdf[-1]).astype(jnp.int32)
-    return jnp.clip(idx, 0, logits.shape[0] - 1)
-
-
 def _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples):
     """Batched trajectory gather + concat; l_idx/r_idx (P, n)."""
     (traj_a, log_w_a, orig_a), keys_a, params_a = inputs_a
@@ -240,52 +231,28 @@ def fused_stitching_operator(inputs_a, inputs_b, Gt, n_samples, last_step,
     """Factorised stitching for one tree level; natively batched over the
     pair axis (leaves (P, block, N, ...)), drop-in for the vmapped generic
     `stitching_operator`. Same law: N iid pairs from the flat N^2 softmax
-    with pair 0 pinned to (0, 0) (or one unconditional pair at the root)."""
+    with pair 0 pinned to (0, 0) (or one unconditional pair at the root).
+    The two-stage draw itself lives in `_fused_node_draw` (shared with the
+    index-composition engine)."""
     (traj_a, log_w_a, _), _, _ = inputs_a
     (traj_b, log_w_b, _), keys_b, params_b = inputs_b
 
     xl = traj_a[:, -1]                                  # (P, N, d)
     xr = traj_b[:, 0]
     pb = jax.tree.map(lambda z: z[:, 0], params_b)
-    rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, pb)
-    rb = rb + log_w_a[:, -1]
-    cb = cb + log_w_b[:, 0]
-
-    lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
-           else _stitch.row_lse_xla(rf, cf, cb))       # (P, N)
-    row_logits = rb + lse
-
     node_keys = keys_b[:, 0]
-    key_rows = jax.vmap(lambda k: jax.random.fold_in(k, 0))(node_keys)
 
+    rows, cols = _fused_node_draw(xl, xr, log_w_a[:, -1], log_w_b[:, 0], pb,
+                                  node_keys, Gt, n_samples, last_step,
+                                  use_pallas)
+    out = _fused_gather_concat(inputs_a, inputs_b, rows, cols, n_samples)
     if last_step:
-        # Root: one unconditional pair; stage 2 is a single matvec in XLA.
-        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_rows)
-        row = jax.vmap(_rows_from_uniforms)(row_logits, u[:, None])[:, 0]
-        rf_sel = jnp.take_along_axis(rf, row[:, None, None], axis=1)[:, 0]
-        s = jnp.einsum("pk,pjk->pj", rf_sel, cf) + cb
-        u2 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1), ()))(
-            node_keys)
-        col = jax.vmap(_rows_from_uniforms)(s, u2[:, None])[:, 0]
-        l_idx, r_idx = row[:, None], col[:, None]
-        out = _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples)
         # Match the generic root semantics: squeeze the particle axis.
         (traj, log_w, origins), keys, params = out
         traj = jax.tree.map(lambda z: z[:, :, 0], traj)
         origins = origins[:, :, 0]
         return (traj, log_w, origins), keys, params
-
-    u_rows = jax.vmap(lambda k: jax.random.uniform(k, (n_samples,)))(key_rows)
-    rows = jax.vmap(_rows_from_uniforms)(row_logits, u_rows)   # (P, n)
-    rows = rows.at[:, 0].set(0)
-
-    rf_sel = jnp.take_along_axis(rf, rows[:, :, None], axis=1)
-    seed = jax.random.randint(node_keys[0], (), 0, jnp.iinfo(jnp.int32).max,
-                              dtype=jnp.int32)
-    cols = (_stitch.col_sample(seed, rf_sel, cf, cb) if use_pallas
-            else _stitch.col_sample_xla(seed, rf_sel, cf, cb))  # (P, n)
-    cols = cols.at[:, 0].set(0)
-    return _fused_gather_concat(inputs_a, inputs_b, rows, cols, n_samples)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +321,7 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
 
     if T == 1:
         u = jax.random.uniform(resample_keys[0])
-        j = _rows_from_uniforms(log_wts[0], u[None])[0]
+        j = categorical_from_uniforms(log_wts[0], u[None])[0]
         return xs[:, j], j[None]
 
     # Shift Gt params one step right: params[t] weighs the (t-1, t) boundary.
@@ -454,6 +421,28 @@ def _root_init(root, S, N):
     return jnp.where(jnp.asarray(np.arange(S) < half), l_star[0], r_star[0])
 
 
+def _level_selection_rows(ts_np, j, sel, N):
+    """Identity-padded per-time selection rows for level `j`: row t holds the
+    level's L (left side) or R (right side) index map when t's node at that
+    level is active, else the identity. The static p/side bit arithmetic
+    (p = t >> (j+1), side = (t >> j) & 1, identity row at slot n_act) is the
+    single source of truth for both the boundary-ordering composition and the
+    final genealogy resolution. Returns None when no row is active."""
+    L, R, n_act = sel
+    p = ts_np >> (j + 1)
+    side = (ts_np >> j) & 1
+    act = p < n_act
+    if not np.any(act):
+        return None
+    ident = jnp.arange(N, dtype=L.dtype)[None]
+    Lp = jnp.concatenate([L, ident], axis=0)
+    Rp = jnp.concatenate([R, ident], axis=0)
+    li = np.where(act & (side == 0), p, n_act)
+    ri = np.where(act & (side == 1), p, n_act)
+    return jnp.where(jnp.asarray(side & act, dtype=bool)[:, None],
+                     Rp[ri], Lp[li])
+
+
 def resolve_genealogy(sels, idx_init, S, N):
     """Top-down resolution idx[t] = s_0(t)[s_1(t)[... [idx_init[t]] ...]] of
     the recorded selections; O(S) work per level."""
@@ -462,18 +451,10 @@ def resolve_genealogy(sels, idx_init, S, N):
     for k in range(len(sels) - 1, -1, -1):
         if sels[k] is None:
             continue
-        L, R, n_act = sels[k]
-        p = ts >> (k + 1)
-        side = (ts >> k) & 1
-        act = p < n_act
-        # Pad with an identity row so statically-inactive nodes pass through.
-        ident = jnp.arange(N, dtype=L.dtype)[None]
-        Lp = jnp.concatenate([L, ident], axis=0)
-        Rp = jnp.concatenate([R, ident], axis=0)
-        li = np.where(act & (side == 0), p, n_act)
-        ri = np.where(act & (side == 1), p, n_act)
-        idx = jnp.where(jnp.asarray(side & act, dtype=bool),
-                        Rp[ri, idx], Lp[li, idx])
+        maps = _level_selection_rows(ts, k, sels[k], N)
+        if maps is None:
+            continue
+        idx = jnp.take_along_axis(maps, idx[:, None], axis=1)[:, 0]
     return idx
 
 
@@ -486,19 +467,9 @@ def _boundary_sigma(ts_np, k, sels, N):
     for j in range(k):
         if sels[j] is None:
             continue
-        L, R, n_act = sels[j]
-        p = ts_np >> (j + 1)
-        side = (ts_np >> j) & 1
-        act = p < n_act
-        if not np.any(act):
+        maps = _level_selection_rows(ts_np, j, sels[j], N)
+        if maps is None:
             continue
-        ident = jnp.arange(N, dtype=L.dtype)[None]
-        Lp = jnp.concatenate([L, ident], axis=0)
-        Rp = jnp.concatenate([R, ident], axis=0)
-        li = np.where(act & (side == 0), p, n_act)
-        ri = np.where(act & (side == 1), p, n_act)
-        maps = jnp.where(jnp.asarray(side & act, dtype=bool)[:, None],
-                         Rp[ri], Lp[li])
         sigma = take_rows(sigma, maps.astype(jnp.int32))
     return sigma
 
@@ -527,12 +498,12 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
 
     if last:
         u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_rows)
-        row = jax.vmap(_rows_from_uniforms)(row_logits, u[:, None])[:, 0]
+        row = jax.vmap(categorical_from_uniforms)(row_logits, u[:, None])[:, 0]
         rf_sel = jnp.take_along_axis(rf, row[:, None, None], axis=1)[:, 0]
         s = jnp.einsum("pk,pjk->pj", rf_sel, cf) + cb
         u2 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1), ()))(
             node_keys)
-        col = jax.vmap(_rows_from_uniforms)(s, u2[:, None])[:, 0]
+        col = jax.vmap(categorical_from_uniforms)(s, u2[:, None])[:, 0]
         return row[:, None], col[:, None]
 
     u_rows = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(key_rows)
