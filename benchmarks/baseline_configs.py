@@ -179,8 +179,15 @@ CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    ids = CONFIGS.keys() if which == "all" else [int(which)]
-    for i in ids:
+    if which == "all":
+        # One subprocess per config: config1 switches jax_platforms to CPU
+        # process-globally, which would silently demote configs 2-5 to CPU
+        # if they shared its process.
+        import subprocess
+        for i in CONFIGS:
+            subprocess.run([sys.executable, os.path.abspath(__file__), str(i)])
+    else:
+        i = int(which)
         try:
             print(json.dumps(CONFIGS[i]()), flush=True)
         except Exception as e:  # keep the sweep going
