@@ -194,10 +194,23 @@ def _use_blocked_stitch(N):
     return mode == "blocked" or N >= _BLOCKED_MIN_N
 
 
-def _use_fused_draws():
-    """Single-launch fused stage-1+2 draws (`stitching.stitch_draws`);
-    AUX_SSM_FUSED_DRAWS=0 falls back to the unfused composition."""
-    return os.environ.get("AUX_SSM_FUSED_DRAWS", "1") != "0"
+def _draws_mode():
+    """How the stage-1/2 draws run on the blocked path.
+
+    'joint' (default): one flat inverse-CDF draw over the (N * nb)
+    (row, block) categorical + within-block Gumbel columns — pure XLA, no
+    per-draw gathers of Lb rows (`stitching.joint_rowblock_draws`). Same
+    joint law as the two-stage draw, different uniform-to-index mapping.
+    'fused': the single-launch Pallas kernel (`stitching.stitch_draws`).
+    'unfused': stage-wise row draw + `blocked_col_sample`.
+    Legacy AUX_SSM_FUSED_DRAWS=0 maps to 'unfused'.
+    """
+    mode = os.environ.get("AUX_SSM_STITCH_DRAWS", "")
+    if mode in ("joint", "fused", "unfused"):
+        return mode
+    if os.environ.get("AUX_SSM_FUSED_DRAWS", "") == "0":
+        return "unfused"
+    return "joint"
 
 
 def _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples):
@@ -486,14 +499,17 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     cb = cb + lw_r
 
     blocked = _use_blocked_stitch(N) and not last
+    mode = _draws_mode() if blocked else None
     if blocked:
         Lb = (_stitch.block_masses(rf, cf, cb) if use_pallas
               else _stitch.block_masses_xla(rf, cf, cb))   # (n_act, N, nb)
-        lse = logsumexp(Lb, axis=-1)
+        # The joint draw never needs the row marginals (they are implicit in
+        # the flat (row, block) categorical) — skip the full-Lb logsumexp.
+        row_logits = None if mode == "joint" else rb + logsumexp(Lb, axis=-1)
     else:
         lse = (_stitch.row_lse(rf, cf, cb) if use_pallas
                else _stitch.row_lse_xla(rf, cf, cb))       # (n_act, N)
-    row_logits = rb + lse
+        row_logits = rb + lse
     key_rows = jax.vmap(lambda k: jax.random.fold_in(k, 0))(node_keys)
 
     if last:
@@ -510,7 +526,14 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     if seed is None:
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    if blocked and _use_fused_draws():
+    if blocked and mode == "joint":
+        rows, blocks = _stitch.joint_rowblock_draws(u_rows, rb, Lb)
+        rows = rows.at[:, 0].set(0)
+        rf_sel = take_rows(rf, rows)
+        cols = _stitch.within_block_cols(seed, blocks, rf_sel, cf, cb,
+                                         pair_offset=pair_offset)
+        return rows, cols.at[:, 0].set(0)
+    if blocked and mode == "fused":
         # Single-launch stage-1 + stage-2: every per-draw gather stays in
         # VMEM as a one-hot MXU matmul (see `stitching.stitch_draws`).
         draw = _stitch.stitch_draws if use_pallas else _stitch.stitch_draws_xla

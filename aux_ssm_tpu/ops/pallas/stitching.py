@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..take import categorical_from_uniforms
+
 _ROW_BLOCK = 128
 # Finite stand-in for -inf log-masses: far below any real score, yet
 # 0 * _NEG_FLOOR = 0 (not NaN) in the one-hot selection matmuls, and
@@ -326,7 +328,28 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
     blocks = jnp.sum((cdf < target).astype(jnp.int32), axis=-1)
     blocks = jnp.clip(blocks, 0, nb - 1).astype(jnp.int32)        # (P, n)
 
-    # Stage 2b: recompute the chosen 128-wide block's scores per draw.
+    return within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
+                             pair_offset=pair_offset)
+
+
+def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
+                      pair_offset=0):
+    """Stage 2b alone: given each draw's column block, draw the within-block
+    column by Gumbel-argmax over the recomputed 128-wide score slice. Counter
+    stream (seed, pair, draw, block, j_loc) — identical to the corresponding
+    stage of `blocked_col_sample`/`stitch_draws`.
+
+    blocks (P, n) int32; row_feat_sel (P, n, k); col_feat (P, N, k);
+    col_bias (P, N) -> (P, n) int32 column ids.
+    """
+    P, n, k = row_feat_sel.shape
+    N = col_feat.shape[1]
+    nb = N // _COL_BLOCK
+    seed = jnp.asarray(seed, jnp.int32)
+    pair_ids = (jnp.arange(P, dtype=jnp.int32)
+                + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
+    draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
+
     cf_blk = col_feat.reshape(P, nb, _COL_BLOCK, k)
     cf_sel = jnp.take_along_axis(
         cf_blk, blocks[:, :, None, None], axis=1)                 # (P, n, 128, k)
@@ -339,6 +362,25 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
     g = s2 - jnp.log(-jnp.log(u_in))
     j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
     return blocks * _COL_BLOCK + j_star
+
+
+def joint_rowblock_draws(u, row_bias, Lb):
+    """Joint (row, column-block) draws from P(i, b) ∝ exp(row_bias_i + Lb_ib).
+
+    Because P(i, b) = P(i) P(b | i) with P(i) ∝ exp(row_bias_i + lse_i), one
+    flat inverse-CDF draw over the (N * nb) categorical replaces the separate
+    row draw *and* the per-draw Lb-row gather of `blocked_col_sample`'s stage
+    2a — the heaviest part of the stitching draw at large N. Pure XLA; the
+    flat draw runs through `categorical_from_uniforms`' hierarchical path.
+
+    u (P, n) uniforms; row_bias (P, N); Lb (P, N, nb) -> (rows, blocks),
+    each (P, n) int32.
+    """
+    P, N, nb = Lb.shape
+    flat = (Lb + row_bias[:, :, None]).reshape(P, N * nb)
+    idx = categorical_from_uniforms(flat, u)
+    return ((idx // nb).astype(jnp.int32),
+            (idx - (idx // nb) * nb).astype(jnp.int32))
 
 
 # --------------------------------------------------------------------------

@@ -71,7 +71,8 @@ def categorical_from_uniforms(logits, u):
     log-probs. logits (..., N); u (..., n) uniforms in (0, 1) -> (..., n)
     int32. The flat CDF is decomposed hierarchically (tile CDF, then the
     conditional offset within the chosen tile) so no `searchsorted` scan
-    and no scalar gather is emitted.
+    and no scalar gather is emitted. Past N = TILE^2 a third (super-tile)
+    level keeps every comparison tensor <= (..., n, TILE).
     """
     N = logits.shape[-1]
     if not _use_tile_path() or N % _TILE != 0:
@@ -81,6 +82,8 @@ def categorical_from_uniforms(logits, u):
     w = jnp.exp(logits - m)                                  # (..., N)
     wt = w.reshape(w.shape[:-1] + (nb, _TILE))
     tile_sum = jnp.sum(wt, axis=-1)                          # (..., nb)
+    if nb > _TILE:
+        return _three_level_draw(wt, tile_sum, u)
     tile_cdf = jnp.cumsum(tile_sum, axis=-1)
     total = tile_cdf[..., -1:]
     t = u * total                                            # (..., n)
@@ -93,6 +96,47 @@ def categorical_from_uniforms(logits, u):
     sel = jnp.take_along_axis(wt, blk[..., None], axis=-2)   # (..., n, TILE)
     in_cdf = jnp.cumsum(sel, axis=-1)
     off = jnp.sum((in_cdf < (t - prev)[..., None]).astype(jnp.int32), axis=-1)
+    off = jnp.clip(off, 0, _TILE - 1)
+    return (blk * _TILE + off).astype(jnp.int32)
+
+
+def _three_level_draw(wt, tile_sum, u):
+    """Inverse-CDF draws when the tile count itself exceeds one tile: group
+    the nb tile sums into super-tiles of TILE, draw super -> tile -> offset.
+    Zero-padded super/tile slots carry zero mass, so the strict `cdf < t`
+    counts can never select them (guarded by the clamps regardless).
+
+    wt (..., nb, TILE) tile-reshaped weights; tile_sum (..., nb); u (..., n).
+    """
+    nb = tile_sum.shape[-1]
+    ns = -(-nb // _TILE)
+    pad = ns * _TILE - nb
+    lead = tile_sum.shape[:-1]
+    ts_p = jnp.pad(tile_sum, [(0, 0)] * len(lead) + [(0, pad)])
+    tss = ts_p.reshape(lead + (ns, _TILE))                   # (..., ns, TILE)
+    sup_sum = jnp.sum(tss, axis=-1)                          # (..., ns)
+    sup_cdf = jnp.cumsum(sup_sum, axis=-1)
+    total = sup_cdf[..., -1:]
+    t = u * total                                            # (..., n)
+
+    below_s = sup_cdf[..., None, :] < t[..., None]           # (..., n, ns)
+    sup = jnp.clip(jnp.sum(below_s.astype(jnp.int32), axis=-1), 0, ns - 1)
+    prev_s = jnp.sum(jnp.where(below_s, sup_sum[..., None, :], 0.0), axis=-1)
+    prev_s = jnp.minimum(prev_s, t)                          # guard f32 order
+    rem_s = t - prev_s                                       # (..., n)
+
+    ts_sel = jnp.take_along_axis(tss, sup[..., None], axis=-2)  # (..., n, TILE)
+    mid_cdf = jnp.cumsum(ts_sel, axis=-1)
+    below_m = mid_cdf < rem_s[..., None]
+    mid = jnp.clip(jnp.sum(below_m.astype(jnp.int32), axis=-1), 0, _TILE - 1)
+    prev_m = jnp.sum(jnp.where(below_m, ts_sel, 0.0), axis=-1)
+    prev_m = jnp.minimum(prev_m, rem_s)
+    blk = jnp.minimum(sup * _TILE + mid, nb - 1)             # (..., n)
+
+    w_sel = jnp.take_along_axis(wt, blk[..., None], axis=-2)  # (..., n, TILE)
+    in_cdf = jnp.cumsum(w_sel, axis=-1)
+    off = jnp.sum((in_cdf < (rem_s - prev_m)[..., None]).astype(jnp.int32),
+                  axis=-1)
     off = jnp.clip(off, 0, _TILE - 1)
     return (blk * _TILE + off).astype(jnp.int32)
 

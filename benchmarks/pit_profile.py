@@ -134,6 +134,7 @@ def main():
     cb = cb + lw_r
 
     from aux_ssm_tpu.ops.pallas import stitching as st
+    from aux_ssm_tpu.ops.take import take_rows
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     masses = st.block_masses if on_tpu else st.block_masses_xla
     report["masses0"] = _timeit(lambda a, b, c: masses(a, b, c).sum(),
@@ -151,7 +152,29 @@ def main():
         rows, cols = draw(seed, rl, ur, lb, rf_, cf_, cb_)
         return rows.sum() + cols.sum()
 
-    report["draws0"] = _timeit(draws0, row_logits, u_rows, Lb, rf, cf, cb)
+    report["draws0_fused"] = _timeit(draws0, row_logits, u_rows, Lb, rf, cf, cb)
+
+    # Joint-draw decomposition (the default engine).
+    def joint0(ur, rb_, lb):
+        rows, blocks = st.joint_rowblock_draws(ur, rb_, lb)
+        return rows.sum() + blocks.sum()
+
+    report["joint0"] = _timeit(joint0, u_rows, rb, Lb)
+    rows_j, blocks_j = jax.jit(st.joint_rowblock_draws)(u_rows, rb, Lb)
+    report["take_rf0"] = _timeit(lambda a, b: take_rows(a, b).sum(), rf, rows_j)
+    rf_sel = jax.jit(take_rows)(rf, rows_j)
+    report["wbc0"] = _timeit(
+        lambda b, r, c, cbb: st.within_block_cols(seed, b, r, c, cbb).sum(),
+        blocks_j, rf_sel, cf, cb)
+
+    def draws0_joint(ur, rb_, lb, rf_, cf_, cb_):
+        rows, blocks = st.joint_rowblock_draws(ur, rb_, lb)
+        rows = rows.at[:, 0].set(0)
+        rfs = take_rows(rf_, rows)
+        cols = st.within_block_cols(seed, blocks, rfs, cf_, cb_)
+        return rows.sum() + cols.sum()
+
+    report["draws0_joint"] = _timeit(draws0_joint, u_rows, rb, Lb, rf, cf, cb)
 
     for name, ms in report.items():
         print(json.dumps({"stage": name, "ms": round(ms, 2), "N": N, "T": T}),

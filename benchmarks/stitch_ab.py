@@ -89,6 +89,14 @@ def main():
 
     report["twopass"] = _timeit(twopass, rb, cb, u_rows, rf, cf)
 
+    def joint(rb_, ur, lb, rf_, cf_, cb_):
+        rows, blocks = st.joint_rowblock_draws(ur, rb_, lb)
+        rf_sel = take_rows(rf_, rows)
+        cols = st.within_block_cols(seed, blocks, rf_sel, cf_, cb_)
+        return rows.sum() + cols.sum()
+
+    report["joint"] = _timeit(joint, rb, u_rows, Lb, rf, cf, cb)
+
     for name, ms in report.items():
         print(json.dumps({"variant": name, "ms": round(ms, 2),
                           "N": N, "P": P, "k": K}), flush=True)

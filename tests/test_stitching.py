@@ -195,13 +195,43 @@ def test_blocked_col_sample_law():
     np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(n_seeds))
 
 
-def test_blocked_node_draw_law_matches_dense_joint(monkeypatch):
+def test_joint_rowblock_draws_law():
+    """`joint_rowblock_draws` must follow P(i, b) ∝ exp(rb_i + Lb_ib)."""
+    rng = np.random.default_rng(30)
+    N, k = 256, 2
+    rf = jnp.asarray(0.4 * rng.standard_normal((1, N, k)), jnp.float32)
+    cf = jnp.asarray(0.4 * rng.standard_normal((1, N, k)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    Lb = st.block_masses_xla(rf, cf, cb)                    # (1, N, 2)
+    nb = Lb.shape[-1]
+
+    M = np.asarray(Lb[0], np.float64) + np.asarray(rb[0], np.float64)[:, None]
+    pj = np.exp(M - M.max())
+    pj /= pj.sum()                                           # (N, nb)
+    # Coarse row bins x exact block for the frequency check.
+    pjb = pj.reshape(8, N // 8, nb).sum(1)                   # (8, nb)
+
+    n_draws = 40_000
+    u = jax.random.uniform(jax.random.key(0), (1, n_draws))
+    rows, blocks = st.joint_rowblock_draws(u, rb, Lb)
+    rows, blocks = np.asarray(rows[0]), np.asarray(blocks[0])
+    counts = np.zeros((8, nb))
+    np.add.at(counts, (rows * 8 // N, blocks), 1.0)
+    np.testing.assert_allclose(counts / n_draws, pjb,
+                               atol=5 * 0.5 / np.sqrt(n_draws))
+
+
+@pytest.mark.parametrize("draws_mode", ["joint", "fused", "unfused"])
+def test_blocked_node_draw_law_matches_dense_joint(monkeypatch, draws_mode):
     """`_fused_node_draw` under AUX_SSM_STITCH=blocked must follow the same
-    flat N^2 softmax law as the two-pass path (non-pinned slots)."""
+    flat N^2 softmax law as the two-pass path (non-pinned slots), whichever
+    draw engine runs."""
     from aux_ssm_tpu.kernels import pit as pit_mod
     from aux_ssm_tpu.kernels.csmc_base import Potential
 
     monkeypatch.setenv("AUX_SSM_STITCH", "blocked")
+    monkeypatch.setenv("AUX_SSM_STITCH_DRAWS", draws_mode)
 
     rng = np.random.default_rng(11)
     N, d = 128, 1

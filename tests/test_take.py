@@ -81,6 +81,46 @@ def test_categorical_law(force_tile):
                                atol=5 * 0.5 / np.sqrt(n))
 
 
+def test_categorical_three_level_matches_flat(force_tile):
+    """N > TILE^2 routes through the super-tile level; same draws as the
+    flat inverse CDF up to f32 boundary ties."""
+    rng = np.random.default_rng(6)
+    P, N, n = 2, 128 * 128 * 2, 500
+    logits = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(P, n)), jnp.float32)
+    got = tk.categorical_from_uniforms(logits, u)
+    want = tk._flat_inverse_cdf(logits, u)
+    assert float((np.asarray(got) == np.asarray(want)).mean()) > 0.999
+
+
+def test_categorical_three_level_padded_tiles(force_tile):
+    """Tile counts that are not a multiple of TILE pad with zero-mass
+    super-tile slots; u -> 1 must still return a valid index."""
+    rng = np.random.default_rng(7)
+    N = 128 * 130                      # nb = 130 -> ns = 2 with 126 padded
+    logits = jnp.asarray(rng.standard_normal((N,)), jnp.float32)
+    u = jnp.asarray([1e-7, 0.5, 1.0 - 1e-7], jnp.float32)
+    idx = np.asarray(tk.categorical_from_uniforms(logits, u))
+    assert (idx >= 0).all() and (idx < N).all()
+    want = np.asarray(tk._flat_inverse_cdf(logits, u))
+    np.testing.assert_array_equal(idx, want)
+
+
+def test_categorical_three_level_law(force_tile):
+    """Empirical coarse-bin frequencies match softmax over N = 3 * 128^2."""
+    rng = np.random.default_rng(8)
+    N, n = 128 * 128 * 3, 100_000
+    logits = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(n,)), jnp.float32)
+    idx = np.asarray(tk.categorical_from_uniforms(logits, u))
+    p = np.exp(np.asarray(logits, np.float64))
+    p /= p.sum()
+    freq = np.bincount(idx, minlength=N) / n
+    np.testing.assert_allclose(freq.reshape(8, -1).sum(1),
+                               p.reshape(8, -1).sum(1),
+                               atol=5 * 0.5 / np.sqrt(n))
+
+
 def test_categorical_1d(force_tile):
     logits = jnp.asarray(np.log([0.1, 0.2, 0.3, 0.4] * 32), jnp.float32)
     u = jnp.asarray([0.0001, 0.5, 0.9999], jnp.float32)
