@@ -35,6 +35,15 @@ from ..utils.stats import OnlineStats, init_stats, update_stats
 _BURNIN_PHASE, _SAMPLE_PHASE = 0, 1
 
 
+def _fence(x):
+    """Force device completion of `x` with a host read of one leaf element.
+    On the remote-TPU tunnel backend `jax.block_until_ready` can return one
+    in-flight computation early; materialising any output element on the
+    host is the only reliable timing fence (a no-op cost elsewhere)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+
+
 @dataclass(frozen=True)
 class RunConfig:
     """Schedule and adaptation configuration for one experiment run."""
@@ -200,11 +209,11 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
                                     get_stats_x, length)
                 segs[length] = fn.lower(phase_key, state, delta, stats,
                                         jnp.int32(t)).compile()
-            jax.block_until_ready((state, delta, stats))
+            _fence((state, delta, stats))
             tic = time.perf_counter()
             state, delta, stats, xs = segs[length](
                 phase_key, state, delta, stats, jnp.int32(t))
-            jax.block_until_ready(stats if xs is None else xs)
+            _fence(stats if xs is None else xs)
             if timed:
                 sampling_time += time.perf_counter() - tic
             t += length

@@ -24,13 +24,18 @@ def trace(log_dir):
 @contextlib.contextmanager
 def timer(label="block", sync=None):
     """Host wall-clock timer; pass `sync` (an array/pytree) to block on
-    device completion before stopping the clock."""
+    device completion before stopping the clock. The fence is a host read of
+    one leaf element: on the remote-TPU tunnel backend `block_until_ready`
+    can return one in-flight computation early, while materialising any
+    output element on the host is reliable (and a no-op cost elsewhere)."""
+    import numpy as np
     tic = time.perf_counter()
     box = {}
     try:
         yield box
     finally:
         if sync is not None:
-            jax.block_until_ready(sync)
+            leaf = jax.tree.leaves(sync)[0]
+            np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
         box["seconds"] = time.perf_counter() - tic
         box["label"] = label

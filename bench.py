@@ -36,13 +36,16 @@ def main():
     run_jit = jax.jit(run, static_argnums=2)
     x0 = jnp.zeros((T, dx), jnp.float32)
 
-    # Warm-up / compile.
+    # Warm-up / compile. Timing fences are host reads (float(acc)): on the
+    # remote-TPU tunnel backend `block_until_ready` can return one in-flight
+    # computation early, while materialising any output on the host is
+    # reliable.
     x_w, acc = run_jit(jax.random.key(0), x0, n_iter)
-    jax.block_until_ready(x_w)
+    float(acc)
 
     tic = time.perf_counter()
     x_out, acc = run_jit(jax.random.key(1), x_w, n_iter)
-    jax.block_until_ready(x_out)
+    float(acc)
     toc = time.perf_counter()
 
     samples_per_sec = n_iter / (toc - tic)
