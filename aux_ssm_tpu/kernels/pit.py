@@ -393,10 +393,17 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
             continue
         lefts, rights = mids - 1, mids
 
-        sig_l = _boundary_sigma(lefts, k, sels, N)
-        sig_r = _boundary_sigma(rights, k, sels, N)
-        xl = take_rows(left_vals[lefts], sig_l)
-        xr = take_rows(right_vals[rights], sig_r)
+        if any(s is not None for s in sels):
+            sig_l = _boundary_sigma(lefts, k, sels, N)
+            sig_r = _boundary_sigma(rights, k, sels, N)
+            xl = take_rows(left_vals[lefts], sig_l)
+            xr = take_rows(right_vals[rights], sig_r)
+        else:
+            # Level 0 (and any level before the first active one): every
+            # boundary ordering is the identity — skip the (n_act, N, d)
+            # gathers entirely (~70 ms at N=4096, T=1024).
+            xl = left_vals[lefts]
+            xr = right_vals[rights]
         if log_wts is not None:
             fresh_l = jnp.asarray(~consumed[lefts])[:, None]
             fresh_r = jnp.asarray(~consumed[rights])[:, None]
@@ -527,12 +534,13 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     if blocked and mode == "joint":
-        rows, blocks = _stitch.joint_rowblock_draws(u_rows, rb, Lb)
-        rows = rows.at[:, 0].set(0)
-        rf_sel = take_rows(rf, rows)
+        # rf_sel rides the flat draw's final one-hot matmul; draw 0's entries
+        # are don't-care because pair 0 is re-pinned to (0, 0) afterwards.
+        rows, blocks, rf_sel = _stitch.joint_rowblock_draws(u_rows, rb, Lb,
+                                                            row_feat=rf)
         cols = _stitch.within_block_cols(seed, blocks, rf_sel, cf, cb,
                                          pair_offset=pair_offset)
-        return rows, cols.at[:, 0].set(0)
+        return rows.at[:, 0].set(0), cols.at[:, 0].set(0)
     if blocked and mode == "fused":
         # Single-launch stage-1 + stage-2: every per-draw gather stays in
         # VMEM as a one-hot MXU matmul (see `stitching.stitch_draws`).

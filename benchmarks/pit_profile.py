@@ -170,19 +170,18 @@ def main():
         return rows.sum() + blocks.sum()
 
     report["joint0"] = _timeit(joint0, u_rows, rb, Lb)
-    rows_j, blocks_j = jax.jit(st.joint_rowblock_draws)(u_rows, rb, Lb)
+    rows_j, blocks_j, rf_sel = jax.jit(
+        lambda a, b, c, d: st.joint_rowblock_draws(a, b, c, row_feat=d)
+    )(u_rows, rb, Lb, rf)
     report["take_rf0"] = _timeit(lambda a, b: take_rows(a, b).sum(), rf, rows_j)
-    rf_sel = jax.jit(take_rows)(rf, rows_j)
     report["wbc0"] = _timeit(
         lambda b, r, c, cbb: st.within_block_cols(seed, b, r, c, cbb).sum(),
         blocks_j, rf_sel, cf, cb)
 
     def draws0_joint(ur, rb_, lb, rf_, cf_, cb_):
-        rows, blocks = st.joint_rowblock_draws(ur, rb_, lb)
-        rows = rows.at[:, 0].set(0)
-        rfs = take_rows(rf_, rows)
+        rows, blocks, rfs = st.joint_rowblock_draws(ur, rb_, lb, row_feat=rf_)
         cols = st.within_block_cols(seed, blocks, rfs, cf_, cb_)
-        return rows.sum() + cols.sum()
+        return rows.at[:, 0].set(0).sum() + cols.at[:, 0].set(0).sum()
 
     report["draws0_joint"] = _timeit(draws0_joint, u_rows, rb, Lb, rf, cf, cb)
 

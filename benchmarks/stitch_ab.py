@@ -100,8 +100,8 @@ def main():
     report["twopass"] = _timeit(twopass, rb, cb, u_rows, rf, cf)
 
     def joint(rb_, ur, lb, rf_, cf_, cb_):
-        rows, blocks = st.joint_rowblock_draws(ur, rb_, lb)
-        rf_sel = take_rows(rf_, rows)
+        rows, blocks, rf_sel = st.joint_rowblock_draws(ur, rb_, lb,
+                                                       row_feat=rf_)
         cols = st.within_block_cols(seed, blocks, rf_sel, cf_, cb_)
         return rows.sum() + cols.sum()
 
