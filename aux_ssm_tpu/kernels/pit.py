@@ -178,10 +178,11 @@ def _fused_use_pallas(N):
     return platform in ("tpu", "axon")
 
 
-# Below this N the two-pass kernels' fixed costs beat the blocked path's
-# extra block-mass traffic; above it the single score pass wins (the second
-# full N^2 sweep of `col_sample` is replaced by an O(nb + 128) draw).
-_BLOCKED_MIN_N = 2048
+# Below this N the two-pass Pallas kernels (row_lse + col_sample's fused
+# score/Gumbel sweep) win; above it the single block-mass pass + joint flat
+# draw wins. Honest v5e timings at P=512, k=1 (benchmarks/stitch_ab.py):
+# N=2048 twopass 57 ms vs blocked 69; N=4096 twopass 154 vs blocked 98.
+_BLOCKED_MIN_N = 4096
 
 
 def _use_blocked_stitch(N):
