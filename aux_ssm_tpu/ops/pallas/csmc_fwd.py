@@ -42,18 +42,17 @@ _slice = jax.lax.slice_in_dim
 
 
 def _col_from_row(x_row, N):
-    """(1, N) -> (N, 1) via masked diagonal reduction (no transpose op)."""
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
-    xb = jnp.broadcast_to(x_row, (N, N))
-    return jnp.sum(jnp.where(eye, xb, 0.0), axis=1, keepdims=True)
+    """(1, N) -> (N, 1). A plain relayout transpose: current Mosaic compiles
+    `swapaxes` fine, while the old masked-diagonal-reduction workaround's
+    (1, n) -> (n, n) sublane broadcast of a lane *slice* is rejected
+    ("Invalid input layout" on vector.broadcast)."""
+    del N
+    return jnp.swapaxes(x_row, 0, 1)
 
 
 def _row_from_col(x_col, N):
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
-    xb = jnp.broadcast_to(x_col, (N, N))
-    return jnp.sum(jnp.where(eye, xb, 0.0), axis=0, keepdims=True)
+    del N
+    return jnp.swapaxes(x_col, 0, 1)
 
 
 # --------------------------------------------------------------------------
@@ -67,6 +66,9 @@ def _row_from_col(x_col, N):
 
 _DENSE_MAX_N = 1024
 _CHUNK = 128
+# Max output elements per lane_forward_scan launch (see its docstring):
+# 3 f32 outputs x seg x N stay well under the 16 MB scoped-VMEM limit.
+_LANE_SEG_ELEMS = 128 * 4096
 
 
 def _cumsum_lanes(x, N):
@@ -87,16 +89,12 @@ def _rank_count_chunked(cw, u, N):
     masked-diagonal reduction."""
     f32 = jnp.float32
     nch = N // _CHUNK
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1))
     U = jnp.broadcast_to(u, (_CHUNK, N))
     ones = jnp.ones((1, _CHUNK), f32)
     anc = jnp.zeros((1, N), f32)
     for b in range(nch):
         row_b = _slice(cw, b * _CHUNK, (b + 1) * _CHUNK, axis=1)  # (1, 128)
-        col_b = jnp.sum(jnp.where(eye, jnp.broadcast_to(row_b,
-                                                        (_CHUNK, _CHUNK)),
-                                  0.0), axis=1, keepdims=True)  # (128, 1)
+        col_b = jnp.swapaxes(row_b, 0, 1)                         # (128, 1)
         lt = (jnp.broadcast_to(col_b, (_CHUNK, N)) < U).astype(f32)
         anc = anc + jax.lax.dot_general(ones, lt, (((1,), (0,)), ((), ())),
                                         preferred_element_type=f32,
@@ -615,10 +613,38 @@ def lane_forward_scan(propagate, logw, pgas_logpdf, mt_params, gt_params,
     pgas_logpdf(x_star, x_prev, pt_params) operate on (1, N) lane rows.
     eps, res_u : (T-1, N); anc_u, x_star : (T-1,); x0, w0 : (N,).
     Returns (xs (T-1, N), log_ws (T-1, N), ancestors (T-1, N) int32).
+
+    Long sweeps are segmented over T (`_LANE_SEG_ELEMS` output elements per
+    launch): XLA's memory-space assignment may pin a whole (T-1, 1, N)
+    output in VMEM, which blows the 16 MB scoped limit at T=1024, N=4096.
+    The carry between segments is (last x, softmax(last log_w)) — exactly
+    the kernel's own scratch carry, so segmentation is bitwise-neutral.
     """
     Tm1, N = res_u.shape
     f32 = jnp.float32
     pgas = pgas_logpdf is not None
+
+    seg = max(1, _LANE_SEG_ELEMS // N)
+    if Tm1 > seg:
+        outs, start = [], 0
+        x_c, w_c = x0, w0
+        while start < Tm1:
+            stop = min(start + seg, Tm1)
+            sl = lambda z: z[start:stop]
+            o = lane_forward_scan(
+                propagate, logw, pgas_logpdf,
+                jax.tree.map(sl, mt_params), jax.tree.map(sl, gt_params),
+                jax.tree.map(sl, pt_params) if pgas else pt_params,
+                sl(eps), sl(res_u), sl(anc_u), sl(x_star), x_c, w_c,
+                interpret=interpret)
+            outs.append(o)
+            x_c = o[0][-1]
+            lw_last = o[1][-1]
+            wn = jnp.exp(lw_last - jnp.max(lw_last))
+            w_c = wn / jnp.sum(wn)
+            start = stop
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
 
     m_arr, spec_m = _flatten_params(mt_params, Tm1, N)
     g_arr, spec_g = _flatten_params(gt_params, Tm1, N)
@@ -648,6 +674,10 @@ def lane_forward_scan(propagate, logw, pgas_logpdf, mt_params, gt_params,
                    jax.ShapeDtypeStruct((Tm1, 1, N), f32),
                    jax.ShapeDtypeStruct((Tm1, 1, N), f32)),
         scratch_shapes=[pltpu.VMEM((1, N), f32), pltpu.VMEM((1, N), f32)],
+        # The chunked rank-count/gather working set at N = 4096 peaks ~23 MB
+        # of vector stack — above the 16 MB default scoped-VMEM budget but
+        # comfortably inside the 128 MB physical VMEM of a v5e core.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(row(eps), row(res_u), ua, xstar, x0[None].astype(f32),
       w0[None].astype(f32), *m_arr, *g_arr, *p_arr)

@@ -107,6 +107,12 @@ def pit4096():
     return _pit(4096, n_iter=5)
 
 
+def pit8192():
+    """Capability datapoint past the BASELINE config: 67M pair weights per
+    tree node, still never materialised (block-mass + joint flat draw)."""
+    return _pit(8192, n_iter=3)
+
+
 def sharded4096():
     from baseline_configs import config5
     return config5()
@@ -133,7 +139,7 @@ def spatial_ref():
 
 
 CASES = {f.__name__: f for f in (seq32, pgas256, pit128, pit1024, pit4096,
-                                 sharded4096, spatial_ref)}
+                                 pit8192, sharded4096, spatial_ref)}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["all"]

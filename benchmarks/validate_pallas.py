@@ -276,7 +276,12 @@ def main(sections=None):
                   np.asarray(xs_x)[m], atol=1e-4, rtol=1e-4)
 
         # Chunked large-N lane path (shift-add cumsum + 128-row rank
-        # count/gather; engages past csmc.csmc._FUSED_MAX_N).
+        # count/gather; engages past csmc.csmc._FUSED_MAX_N). The comparison
+        # is RE-SYNCED per step: iterated resampling is chaotic, so a single
+        # tie-level f32 flip early in a free-running chain cascades into
+        # wholesale ancestor disagreement that says nothing about kernel
+        # correctness. Each step gets the XLA reference's carry
+        # (x_{t-1}, softmax(log_w_{t-1})), making per-step agreement exact.
         Tc, Nc = 12, 2048
         res_uc = jnp.asarray(rng.uniform(size=(Tc - 1, Nc)), f32)
         anc_uc = jnp.asarray(rng.uniform(size=(Tc - 1,)), f32)
@@ -291,13 +296,27 @@ def main(sections=None):
             ptp = Mtc.params if pgas else None
             args = (Mtc.lane_propagate, Gtc.lane_logw, pg, Mtc.params,
                     Gtc.params, ptp, epsc, res_uc, anc_uc, x_starc, x0c, w0c)
-            xs_p, lw_p, anc_p = CF.lane_forward_scan(*args)
             xs_x, lw_x, anc_x = CF.lane_scan_xla(*args)
+            anc_rows, xs_rows = [], []
+            x_c, w_c = x0c, w0c
+            for t in range(Tc - 1):
+                sl = lambda z, t=t: jax.tree.map(lambda a: a[t:t + 1], z)
+                xs_p1, lw_p1, anc_p1 = CF.lane_forward_scan(
+                    Mtc.lane_propagate, Gtc.lane_logw, pg, sl(Mtc.params),
+                    sl(Gtc.params), sl(ptp) if pgas else ptp, epsc[t:t + 1],
+                    res_uc[t:t + 1], anc_uc[t:t + 1], x_starc[t:t + 1],
+                    x_c, w_c)
+                anc_rows.append(np.asarray(anc_p1[0]))
+                xs_rows.append(np.asarray(xs_p1[0]))
+                x_c = xs_x[t]
+                wn = jnp.exp(lw_x[t] - jnp.max(lw_x[t]))
+                w_c = wn / jnp.sum(wn)
             tag = "pgas" if pgas else "plain"
+            anc_p = np.stack(anc_rows)
             agree(f"csmc_fwd.lane_chunked.{tag}.anc", anc_p, anc_x,
-                  min_frac=0.99)
-            m = (np.asarray(anc_p) == np.asarray(anc_x)).all(axis=1)
-            check(f"csmc_fwd.lane_chunked.{tag}.xs", np.asarray(xs_p)[m],
+                  min_frac=0.999)
+            m = (anc_p == np.asarray(anc_x)).all(axis=1)
+            check(f"csmc_fwd.lane_chunked.{tag}.xs", np.stack(xs_rows)[m],
                   np.asarray(xs_x)[m], atol=1e-4, rtol=1e-4)
 
     print()

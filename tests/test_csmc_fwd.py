@@ -273,3 +273,31 @@ def test_lane_pallas_matches_xla(pgas, N):
     if agree.all():
         np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_x),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pgas", [False, True])
+def test_lane_scan_segmented_matches_monolithic(pgas, monkeypatch):
+    """T-segmentation (`_LANE_SEG_ELEMS`) must not change the sweep: the
+    carry between launches is exactly the kernel's own scratch carry. On the
+    CPU interpreter both paths lower to the same XLA ops, so the comparison
+    is exact."""
+    import aux_ssm_tpu.ops.pallas.csmc_fwd as CF
+    from aux_ssm_tpu.models import theta_logistic as tl
+    T, N = 20, 24
+    ys, M0, G0, Mt, Gt = _tl_setup(T, N, seed=5)
+    rng = np.random.default_rng(7)
+    eps = jnp.asarray(rng.standard_normal((T - 1, N)), jnp.float32)
+    res_u = jnp.asarray(rng.uniform(size=(T - 1, N)), jnp.float32)
+    anc_u = jnp.asarray(rng.uniform(size=(T - 1,)), jnp.float32)
+    x_star = jnp.asarray(rng.standard_normal(T - 1), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    w0 = jnp.full((N,), 1.0 / N, jnp.float32)
+    pg = Mt.lane_logpdf if pgas else None
+    pt_p = Mt.params if pgas else None
+    args = (Mt.lane_propagate, Gt.lane_logw, pg, Mt.params, Gt.params, pt_p,
+            eps, res_u, anc_u, x_star, x0, w0)
+    mono = CF.lane_forward_scan(*args, interpret=True)
+    monkeypatch.setattr(CF, "_LANE_SEG_ELEMS", 7 * N)  # 3 segments: 7+7+5
+    seg = CF.lane_forward_scan(*args, interpret=True)
+    for a, b in zip(mono, seg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
