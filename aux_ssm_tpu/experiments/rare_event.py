@@ -98,7 +98,12 @@ def run_grid(args):
     # on the 'chains' mesh axis; GSPMD then executes the one-program sweep
     # data-parallel across devices.
     mesh_n = getattr(args, "mesh_chains", 0)
-    if mesh_n and M % mesh_n == 0:
+    if mesh_n and M % mesh_n:
+        raise ValueError(
+            f"--mesh-chains {mesh_n} does not divide the flat cell-chain "
+            f"batch (grid^2 * n_chains = {M}); pick a divisor or adjust "
+            f"--n-chains — refusing to silently run unsharded.")
+    if mesh_n:
         from ..config import MeshConfig
         from ..parallel.chains import shard_chains
         mesh = MeshConfig(axis_names=("chains",), axis_sizes=(mesh_n,)).build()

@@ -35,13 +35,7 @@ from ..utils.stats import OnlineStats, init_stats, update_stats
 _BURNIN_PHASE, _SAMPLE_PHASE = 0, 1
 
 
-def _fence(x):
-    """Force device completion of `x` with a host read of one leaf element.
-    On the remote-TPU tunnel backend `jax.block_until_ready` can return one
-    in-flight computation early; materialising any output element on the
-    host is the only reliable timing fence (a no-op cost elsewhere)."""
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+from ..utils.profiling import fence as _fence  # canonical tunnel-safe fence
 
 
 @dataclass(frozen=True)
@@ -149,8 +143,18 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
     state = init_state
     stats = init_stats(get_stats_x(state), accept_shape=jnp.shape(state.updated))
     sample_stats = stats
-    collected = []
+    # Collected samples accumulate host-side into ONE preallocated buffer
+    # (lazily sized from the first segment): appending + per-checkpoint
+    # re-concatenation would copy the whole history O(n_segments) times.
+    sample_buf = None
+    n_collected = 0
     sampling_time = 0.0
+
+    def _ensure_buf(first_np):
+        nonlocal sample_buf
+        if sample_buf is None:
+            sample_buf = np.zeros((cfg.n_samples,) + first_np.shape[1:],
+                                  dtype=first_np.dtype)
 
     # Orbax rejects zero-size arrays, so the (possibly empty) collected-sample
     # buffer is stored padded to >=1 rows alongside its true row count.
@@ -159,9 +163,8 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
         dtype = np.asarray(get_stats_x(state)).dtype
         if not collect_samples:
             return np.zeros((1, 1), dtype=np.float32), 0
-        if collected:
-            buf = np.concatenate(collected, axis=0)
-            return buf, buf.shape[0]
+        if n_collected:
+            return sample_buf[:n_collected], n_collected
         return np.zeros((1,) + shape, dtype=dtype), 0
 
     if checkpoint_dir:
@@ -193,11 +196,14 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
                 sample_stats = stats
                 n_prev = int(restored["n_collected"])
                 if collect_samples and n_prev:
-                    collected = [np.asarray(restored["samples"])[:n_prev]]
+                    prev = np.asarray(restored["samples"])[:n_prev]
+                    _ensure_buf(prev)
+                    sample_buf[:n_prev] = prev
+                    n_collected = n_prev
 
     def run_phase(phase_id, phase_key, n_total, adapt, collect, start, state,
                   delta, stats, timed):
-        nonlocal sampling_time
+        nonlocal sampling_time, n_collected
         every = checkpoint_every if (checkpoint_dir and checkpoint_every > 0) \
             else n_total
         segs = {}
@@ -218,7 +224,10 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
                 sampling_time += time.perf_counter() - tic
             t += length
             if collect:
-                collected.append(np.asarray(xs))
+                xs_np = np.asarray(xs)
+                _ensure_buf(xs_np)
+                sample_buf[n_collected:n_collected + xs_np.shape[0]] = xs_np
+                n_collected += xs_np.shape[0]
             if checkpoint_dir:
                 buf, n_coll = _samples_payload()
                 _save(checkpoint_dir, {
@@ -244,8 +253,11 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
 
     samples = None
     if collect_samples:
-        samples = (jnp.concatenate([jnp.asarray(c) for c in collected], axis=0)
-                   if collected else jnp.zeros((0,)))
+        # Host array on purpose: every consumer post-processes with NumPy;
+        # shipping the full sample history back to the device would be a
+        # gratuitous H2D copy of the run's largest buffer.
+        samples = (sample_buf[:n_collected] if n_collected
+                   else np.zeros((0,), dtype=np.float32))
 
     return RunResult(state=state, stats=sample_stats, delta=delta,
                      samples=samples, sampling_time=sampling_time)

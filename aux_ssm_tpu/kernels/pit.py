@@ -491,7 +491,7 @@ def _boundary_sigma(ts_np, k, sels, N):
         maps = _level_selection_rows(ts_np, j, sels[j], N)
         if maps is None:
             continue
-        sigma = take_rows(sigma, maps.astype(jnp.int32))
+        sigma = take_rows(sigma, maps.astype(jnp.int32), index_payload=True)
     return sigma
 
 

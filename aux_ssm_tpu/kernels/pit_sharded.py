@@ -47,6 +47,12 @@ def get_sharded_kernel(Mt, G0, Gt, N, mesh, Qt=None, axis=TIME):
     powers of two with T/C >= 2 (C = mesh.shape[axis]).
     """
     C = mesh.shape[axis]
+    if C == 1:
+        # Degenerate mesh: the boundary super-tree would be empty (no
+        # C-step root pair is ever drawn locally) — the single-device
+        # kernel IS this case.
+        from .pit import get_kernel as _single_kernel
+        return _single_kernel(Mt, G0, Gt, N, Qt=Qt)
     spec_t = P(axis)
 
     def kernel(key, state):

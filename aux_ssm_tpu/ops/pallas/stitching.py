@@ -144,10 +144,16 @@ def counter_uniform(seed, pair, block, rows, cols):
     h = _mix32(h ^ (rows.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
                     + cols.astype(jnp.uint32) * jnp.uint32(0x165667B1)))
     h = _mix32(h + jnp.uint32(0x9E3779B9))
-    # Mosaic can't cast uint32 -> f32 directly; the top-24-bit value fits in
+    # Mosaic can't cast uint32 -> f32 directly; the top-23-bit value fits in
     # int32, so the int32 detour is exact and bit-identical everywhere.
-    h24 = (h >> jnp.uint32(8)).astype(jnp.int32)
-    return h24.astype(jnp.float32) * (1.0 / (1 << 24)) + jnp.float32(2 ** -25)
+    # 23 bits (not 24): every lattice value h23 * 2^-23 + 2^-24 is exactly
+    # representable in f32, so the result lies in [2^-24, 1 - 2^-24] with NO
+    # rounding. A 24-bit lattice's top value 1 - 2^-25 rounds (ties-to-even)
+    # to exactly 1.0, and -log(-log(1.0)) = +inf then makes that element win
+    # any Gumbel-argmax draw unconditionally — a silent once-in-2^24 wrong
+    # sample (observed: a -inf-weight column drawn through `blocked_col_sample`).
+    h23 = (h >> jnp.uint32(9)).astype(jnp.int32)
+    return h23.astype(jnp.float32) * (1.0 / (1 << 23)) + jnp.float32(2 ** -24)
 
 
 def _gumbel_argmax_scores(s, seed, pair, block):
@@ -312,6 +318,7 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
     N = col_feat.shape[1]
     nb = N // _COL_BLOCK
     seed = jnp.asarray(seed, jnp.int32)
+    Lb = jnp.maximum(Lb, _NEG_FLOOR)   # -inf (empty block) -> finite floor
     pair_ids = (jnp.arange(P, dtype=jnp.int32)
                 + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
     draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
@@ -347,6 +354,10 @@ def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
     N = col_feat.shape[1]
     nb = N // _COL_BLOCK
     seed = jnp.asarray(seed, jnp.int32)
+    # -inf biases (indicator potentials / zero weights) would NaN-poison the
+    # one-hot payload matmul below (0 * -inf); the floor keeps the law exact
+    # (exp underflows to 0) — same clamp as `stitch_draws`.
+    col_bias = jnp.maximum(col_bias, _NEG_FLOOR)
     pair_ids = (jnp.arange(P, dtype=jnp.int32)
                 + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
     draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
@@ -389,7 +400,11 @@ def joint_rowblock_draws(u, row_bias, Lb, row_feat=None):
     [, rf_sel (P, n, k)], each (P, n) int32.
     """
     P, N, nb = Lb.shape
+    # Floor -inf cells (empty blocks / zero-weight rows): exactly-zero mass
+    # either way, but a finite floor keeps the tile-path max/exp algebra and
+    # the rf payload matmul NaN-free.
     flat = (Lb + row_bias[:, :, None]).reshape(P, N * nb)
+    flat = jnp.maximum(flat, _NEG_FLOOR)
     NF = N * nb
     if row_feat is None:
         idx = categorical_from_uniforms(flat, u)

@@ -75,24 +75,32 @@ def _use_tile_path():
     return platform in ("tpu", "axon")
 
 
-def take_rows(vals, idx):
+def take_rows(vals, idx, index_payload=False):
     """Batched `vals[..., idx, :]` along the second-to-last (or last) axis.
 
     vals (..., N) or (..., N, d); idx (..., n) int32 with matching leading
     batch dims. Returns (..., n) or (..., n, d). Exact — same values as
     `jnp.take_along_axis`; on TPU uses the tile-gather + one-hot-reduce
     lowering when N is a multiple of 128.
+
+    `index_payload=True` promises integer payload VALUES are < 2^24 in
+    magnitude (e.g. genealogy maps holding indices < N), enabling a one-hot
+    f32 matmul selection. Without the promise, >=32-bit integer payloads use
+    the always-exact tile gather: the f32 round-trip would silently corrupt
+    values past 2^24 (16_777_217 -> 16_777_216).
     """
     vec = vals.ndim == idx.ndim          # (..., N) scalar-valued case
     if vec:
         vals = vals[..., None]
     N = vals.shape[-2]
+    f32_exact = index_payload or (jnp.issubdtype(vals.dtype, jnp.integer)
+                                  and vals.dtype.itemsize <= 2)
     if not _use_tile_path() or N % _TILE != 0:
         out = jnp.take_along_axis(vals, idx[..., None], axis=-2)
-    elif jnp.issubdtype(vals.dtype, jnp.integer) and N <= (1 << 24):
-        # Integer payloads (genealogy/selection maps hold indices < N <=
-        # 2^24, exact in f32): one-hot matmul selection beats the tile
-        # gather (measured 1.26x at (512, 4096) int32).
+    elif jnp.issubdtype(vals.dtype, jnp.integer) and f32_exact:
+        # Integer payloads with values exact in f32: one-hot matmul
+        # selection beats the tile gather (measured 1.26x at (512, 4096)
+        # int32 genealogy maps).
         out = jnp.round(_select_tile_rows(vals.astype(jnp.float32), idx)
                         ).astype(vals.dtype)
     else:

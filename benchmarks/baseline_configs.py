@@ -29,13 +29,7 @@ def _time_scan(kernel_step, state, n_iter, key):
         return kernel_step(k, c), None
 
     f = jax.jit(lambda s: jax.lax.scan(body, s, jax.random.split(key, n_iter))[0])
-
-    def fence(z):
-        # Host read: `block_until_ready` can return one in-flight computation
-        # early on the remote-TPU tunnel backend; a host read is reliable.
-        import numpy as np
-        leaf = jax.tree.leaves(z)[0]
-        np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+    from aux_ssm_tpu.utils.profiling import fence
 
     out = f(state)
     fence(out)

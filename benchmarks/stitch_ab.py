@@ -28,25 +28,9 @@ N_ITER = 5
 
 
 def _timeit(fn, *args):
-    # Median of N_ITER calls, each salted with a unique scalar input and
-    # synchronised by a host read. On the axon tunnel backend
-    # `jax.block_until_ready` returns one computation early (measured:
-    # repeat loops report ~0 ms for a 46 ms kernel) — only materialising the
-    # value on the host (`float(out)`) reliably fences the timing. The salt
-    # guards against the tunnel serving repeated identical executions from
-    # cache. The first sample is dropped (it absorbs the previous call's
-    # in-flight tail).
-    import jax
-    import jax.numpy as jnp
-    f = jax.jit(lambda salt, *a: jnp.sum(fn(*a)) + salt)
-    float(f(jnp.float32(-1.0), *args))
-    times = []
-    for i in range(N_ITER):
-        tic = time.perf_counter()
-        float(f(jnp.float32(i), *args))
-        times.append(time.perf_counter() - tic)
-    times = sorted(times[1:])
-    return times[len(times) // 2] * 1e3  # ms
+    # Tunnel-safe median timing — see utils/profiling.timeit_ms.
+    from aux_ssm_tpu.utils.profiling import timeit_ms
+    return timeit_ms(fn, *args, n_iter=N_ITER)
 
 
 def main():

@@ -98,3 +98,20 @@ def test_shape_validation():
     init_s, _ = pit_sharded.get_sharded_kernel(Mt, g0, Gt, 8, mesh)
     with pytest.raises(ValueError):
         init_s(jnp.zeros((24, 1)))
+
+
+def test_single_device_mesh_falls_back():
+    """A 1-device time mesh must delegate to the single-device kernel (the
+    boundary super-tree over S=1 chunks is empty — regression: used to crash
+    unpacking a None root)."""
+    import jax.sharding as shd
+    T, D, N = 16, 1, 8
+    Mt, g0, Gt = _setup(T, D, N, FactorGt)
+    mesh1 = shd.Mesh(np.asarray(jax.devices()[:1]), (TIME,))
+    init_s, kern_s = pit_sharded.get_sharded_kernel(Mt, g0, Gt, N, mesh1)
+    init_1, kern_1 = pit.get_kernel(Mt, g0, Gt, N)
+    x0 = jnp.zeros((T, D), jnp.float32)
+    key = jax.random.key(7)
+    out_s = jax.jit(kern_s)(key, init_s(x0))
+    out_1 = jax.jit(kern_1)(key, init_1(x0))
+    np.testing.assert_array_equal(np.asarray(out_s.x), np.asarray(out_1.x))

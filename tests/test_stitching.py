@@ -463,3 +463,59 @@ def test_stitch_draws_cols_law_matches_conditional():
     fb = freq.reshape(8, -1).sum(1)
     pb = p.reshape(8, -1).sum(1)
     np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(cols.size))
+
+
+def test_blocked_paths_tolerate_neg_inf_biases():
+    """-inf column/row biases (indicator potentials, zero log-weights) must
+    not NaN-poison the blocked draw paths: the one-hot payload matmuls see a
+    finite floor, excluded columns are never drawn, and the law over the
+    remaining columns is untouched. Regression: before the clamp, any -inf
+    in cb made `within_block_cols`' selection matmul emit NaN scores."""
+    rng = np.random.default_rng(77)
+    N, k, n = 256, 2, 64
+    rf = jnp.asarray(0.3 * rng.standard_normal((1, N, k)), jnp.float32)
+    cf = jnp.asarray(0.3 * rng.standard_normal((1, N, k)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    # Kill a scattered set of columns AND one whole 128-column block, so Lb
+    # itself contains a -inf block mass.
+    dead = np.zeros(N, bool)
+    dead[5] = dead[17] = dead[99] = True
+    dead[128:] = True
+    cb = cb.at[0, jnp.asarray(np.flatnonzero(dead))].set(-jnp.inf)
+    rb = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+
+    Lb = st.block_masses_xla(rf, cf, cb)
+    assert bool(jnp.isinf(Lb[0, 0, 1]))          # whole block 1 is empty
+
+    # joint (row, block) draw + within-block columns — the default large-N
+    # path (kernels/pit.py mode 'joint').
+    u = jax.random.uniform(jax.random.key(0), (1, n))
+    rows, blocks, rf_sel = st.joint_rowblock_draws(u, rb, Lb, row_feat=rf)
+    cols_joint = st.within_block_cols(jnp.int32(3), blocks, rf_sel, cf, cb)
+    assert np.all(np.asarray(blocks) == 0)
+    assert not np.any(dead[np.asarray(cols_joint).ravel()])
+    assert np.all(np.isfinite(np.asarray(rf_sel)))
+
+    # unfused path: independent row draw + blocked_col_sample.
+    rows_u = jnp.asarray(rng.integers(0, N, (1, n)), jnp.int32)
+    rf_row = jnp.take_along_axis(rf, rows_u[:, :, None], axis=1)
+    cols_b = st.blocked_col_sample(jnp.int32(5), rows_u, Lb, rf_row, cf, cb)
+    assert not np.any(dead[np.asarray(cols_b).ravel()])
+
+    # Law on the live columns is unchanged by the clamp: compare frequencies
+    # against a dense softmax with the dead columns removed.
+    rf1 = jnp.broadcast_to(rf[:, 0:1], (1, N, k))
+    Lb1 = st.block_masses_xla(rf1, cf, cb)
+    draw = jax.jit(lambda sd: st.blocked_col_sample(
+        sd, jnp.zeros((1, 1), jnp.int32), Lb1, rf1[:, 0:1], cf, cb)[0, 0])
+    n_seeds = 4000
+    idx = np.asarray(jax.vmap(draw)(jnp.arange(n_seeds, dtype=jnp.int32)))
+    assert not np.any(dead[idx])
+    s = _dense_scores(np.asarray(rf1[0, 0:1]), np.asarray(cf[0]),
+                      np.nan_to_num(np.asarray(cb[0]), neginf=-1e30))[0]
+    p = np.exp(s - s.max())
+    p /= p.sum()
+    freq = np.bincount(idx, minlength=N) / n_seeds
+    fb = freq[:128].reshape(8, -1).sum(1)
+    pb = p[:128].reshape(8, -1).sum(1)
+    np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(n_seeds))

@@ -44,6 +44,26 @@ def test_take_rows_int_dtype(force_tile):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_take_rows_large_int_values_exact(force_tile):
+    """int32 payloads with values past 2^24 must survive take_rows exactly:
+    without the index_payload promise the f32 one-hot round-trip may not be
+    used (16_777_217 would silently become 16_777_216)."""
+    rng = np.random.default_rng(9)
+    P, N = 2, 128
+    vals = jnp.asarray(
+        rng.integers(2 ** 24, 2 ** 30, (P, N)), jnp.int32
+    ).at[0, 0].set(16_777_217)
+    idx = jnp.asarray(rng.integers(0, N, (P, N)), jnp.int32).at[0, 0].set(0)
+    got = tk.take_rows(vals, idx)
+    want = jnp.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # The promise path stays exact for genuine index payloads (< 2^24).
+    small = jnp.asarray(rng.integers(0, N, (P, N)), jnp.int32)
+    got2 = tk.take_rows(small, idx, index_payload=True)
+    np.testing.assert_array_equal(
+        np.asarray(got2), np.asarray(jnp.take_along_axis(small, idx, axis=-1)))
+
+
 def test_take_rows_non_tile_aligned_falls_back(force_tile):
     rng = np.random.default_rng(3)
     vals = jnp.asarray(rng.standard_normal((2, 100)), jnp.float32)
