@@ -28,9 +28,13 @@ from ..ops.lgssm import LGSSM, posterior_logpdf
 @chex.dataclass
 class KalmanSampler(SamplerState):
     """State of the auxiliary Kalman sampler: trajectory and whether the last
-    proposal was accepted."""
+    proposal was accepted. `log_target` caches log_likelihood_fn(x) so the
+    reverse-move branch of the next step does not re-evaluate the target at
+    the current trajectory (it is None when the state was constructed by
+    hand, in which case the kernel recomputes it — same law either way)."""
     x: chex.Array
     updated: chex.Array
+    log_target: chex.Array = None
 
 
 def get_kernel(dynamics_factory, observations_factory, log_likelihood_fn, parallel,
@@ -67,10 +71,11 @@ def get_kernel(dynamics_factory, observations_factory, log_likelihood_fn, parall
     (init, kernel) following the universal kernel contract.
     """
 
-    def propose(delta, key, u, x, x_eval=None):
+    def propose(delta, key, u, x, x_eval=None, log_target=None):
         """Build the proposal LGSSM at x; sample from it unless `x_eval` is
         given (reverse-move density evaluation). Returns the proposal logpdf,
-        the target log-density, and the (sampled or given) trajectory."""
+        the target log-density at `x_eval` (reusing `log_target` if the
+        caller already knows it), and the (sampled or given) trajectory."""
         m0, P0, Fs, Qs, bs = dynamics_factory(x)[:5]
         ys, Hs, Rs, cs = observations_factory(x, u, delta)[:4]
         lgssm = LGSSM(m0, P0, Fs, Qs, bs, Hs, Rs, cs)
@@ -78,7 +83,8 @@ def get_kernel(dynamics_factory, observations_factory, log_likelihood_fn, parall
         if x_eval is None:
             x_eval = sampling(key, ms, Ps, lgssm, parallel)
         log_prop = posterior_logpdf(ys, x_eval, ell, lgssm)
-        log_target = log_likelihood_fn(x_eval)
+        if log_target is None:
+            log_target = log_likelihood_fn(x_eval)
         return log_prop, log_target, x_eval
 
     def kernel(key, state, delta):
@@ -96,7 +102,8 @@ def get_kernel(dynamics_factory, observations_factory, log_likelihood_fn, parall
         u = x + sqrt_half_delta * jax.random.normal(aux_key, x.shape, dtype=x.dtype)
 
         log_prop_fwd, log_target_prop, x_prop = propose(delta, sample_key, u, x)
-        log_prop_rev, log_target_rev, _ = propose(delta, sample_key, u, x_prop, x)
+        log_prop_rev, log_target_rev, _ = propose(
+            delta, sample_key, u, x_prop, x, log_target=state.log_target)
 
         alpha = _acceptance_probability(
             log_prop_fwd, log_prop_rev, log_target_prop, log_target_rev,
@@ -104,10 +111,13 @@ def get_kernel(dynamics_factory, observations_factory, log_likelihood_fn, parall
         )
         accept = jax.random.bernoulli(accept_key, alpha)
         x_new = jax.lax.select(accept, x_prop, x)
-        return KalmanSampler(x=x_new, updated=accept)
+        lt_new = (None if state.log_target is None
+                  else jnp.where(accept, log_target_prop, log_target_rev))
+        return KalmanSampler(x=x_new, updated=accept, log_target=lt_new)
 
     def init(x):
-        return KalmanSampler(x=x, updated=jnp.asarray(True))
+        return KalmanSampler(x=x, updated=jnp.asarray(True),
+                             log_target=log_likelihood_fn(x))
 
     return init, kernel
 
