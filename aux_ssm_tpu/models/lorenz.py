@@ -172,6 +172,10 @@ def get_gibbs_kernel(ys, Hs, Rs, cs, m0, P0, sigma_x, dt, sigma_theta, parallel)
 
     def init(x, theta):
         from ..kernels.kalman import KalmanSampler
+        # log_target stays None (the default) on purpose: the target density
+        # depends on theta, which changes every Gibbs step, so the Kalman
+        # kernel's cross-step log-target cache would be stale here. None turns
+        # the cache off and the kernel recomputes — same law, always valid.
         return GibbsState(
             kalman_state=KalmanSampler(x=x, updated=jnp.asarray(True)),
             theta=jnp.asarray(theta),

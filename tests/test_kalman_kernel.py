@@ -90,3 +90,33 @@ def test_exact_gaussian_target(target, parallel):
         xs[burn:].mean(0), msm, atol=6 * std.max() / np.sqrt((n_iter - burn) / 10)
     )
     np.testing.assert_allclose(xs[burn:].std(0), std, rtol=0.1)
+
+
+def test_log_target_cache_matches_recompute(target):
+    """`KalmanSampler.log_target` caches log_likelihood_fn(x) across steps
+    (kernels/kalman.py): reusing it in the reverse-move branch must give a
+    chain bitwise-identical to recomputing from a hand-built state with
+    log_target=None (the same expressions are evaluated either way)."""
+    from aux_ssm_tpu.kernels.kalman import KalmanSampler
+
+    params, ys = target
+    init, kernel = get_kernel(*_factories(params, ys), parallel=False)
+
+    x0 = jnp.zeros((T, DX))
+    cached = init(x0)
+    assert cached.log_target is not None
+    uncached = KalmanSampler(x=x0, updated=jnp.asarray(True), log_target=None)
+
+    def run(state, n=50):
+        def body(carry, k):
+            s = kernel(k, carry, DELTA)
+            return s, (s.x, s.updated)
+
+        keys = jax.random.split(jax.random.key(7), n)
+        _, out = jax.lax.scan(body, state, keys)
+        return out
+
+    xs_c, acc_c = run(cached)
+    xs_u, acc_u = run(uncached)
+    np.testing.assert_array_equal(np.asarray(xs_c), np.asarray(xs_u))
+    np.testing.assert_array_equal(np.asarray(acc_c), np.asarray(acc_u))
