@@ -4,7 +4,7 @@ summaries — `examples/*/results/*.py` capability, SURVEY §2.3/§6).
 """
 import numpy as np
 
-from .ess import effective_sample_size
+from .ess import effective_sample_size, potential_scale_reduction
 
 
 def ejsd_per_time(ejsd, sampling_time, n_samples):
@@ -37,5 +37,29 @@ def ess_summary(samples, coords=None, known_variance=None):
         coords = [(T // 4, 0), (T // 2, 0), (3 * T // 4, 0)]
     return {
         (t, d): float(effective_sample_size(s[:, t, d], known_variance))
+        for t, d in coords
+    }
+
+
+def rhat_summary(samples, coords=None, rank_normalized=True):
+    """Split-R-hat at selected trajectory coordinates of a multi-chain
+    (n_chains, n_samples, T, d) sample stack (the layout produced by
+    `parallel.run_sharded_chains(..., collect_samples=True)`).
+
+    `coords`: list of (t, dim) pairs; defaults to the quartile midpoints of
+    the first dimension. Returns {coord: rhat}; healthy mixed chains give
+    values < 1.01 (Vehtari et al. 2021).
+    """
+    s = np.asarray(samples)
+    if s.ndim != 4:
+        raise ValueError("rhat_summary expects (n_chains, n_samples, T, d); "
+                         f"got shape {s.shape}. Single-chain runs cannot "
+                         "compute a between-chain diagnostic.")
+    T = s.shape[2]
+    if coords is None:
+        coords = [(T // 4, 0), (T // 2, 0), (3 * T // 4, 0)]
+    return {
+        (t, d): float(potential_scale_reduction(s[:, :, t, d],
+                                                rank_normalized=rank_normalized))
         for t, d in coords
     }

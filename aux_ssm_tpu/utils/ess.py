@@ -72,3 +72,72 @@ def effective_sample_size(chains, known_variance=None):
     tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(m * n))))
 
     return m * n / tau
+
+
+def _split_halves(chains):
+    """(m, n) -> (2m, n//2): split each chain into its two halves (dropping a
+    trailing sample when n is odd)."""
+    m, n = chains.shape
+    h = n // 2
+    return jnp.concatenate([chains[:, :h], chains[:, n - h:]], axis=0)
+
+
+def _rhat_of(chains):
+    """Basic potential scale reduction of (m, n) chains, m >= 2."""
+    m, n = chains.shape
+    chain_means = jnp.mean(chains, axis=1)
+    between = n * jnp.var(chain_means, ddof=1)
+    within = jnp.mean(jnp.var(chains, axis=1, ddof=1))
+    var_plus = within * (n - 1.0) / n + between / n
+    return jnp.sqrt(var_plus / within)
+
+
+def _rank_normalize(chains):
+    """Map pooled values to normal quantiles of their fractional ranks
+    (Vehtari et al. 2021 eq. 14: z = ndtri((r - 3/8) / (S + 1/4)))."""
+    from jax.scipy.special import ndtri
+
+    shape = chains.shape
+    flat = chains.ravel()
+    order = jnp.argsort(flat)
+    ranks = jnp.zeros_like(flat).at[order].set(
+        jnp.arange(1, flat.shape[0] + 1, dtype=chains.dtype))
+    z = ndtri((ranks - 0.375) / (flat.shape[0] + 0.25))
+    return z.reshape(shape)
+
+
+def potential_scale_reduction(chains, rank_normalized=True):
+    """Split-R-hat convergence diagnostic for multi-chain runs.
+
+    The companion diagnostic to `effective_sample_size` for the chain-sharded
+    drivers (`parallel/chains.run_sharded_chains` produces (n_chains,
+    n_samples) sample stacks per coordinate): values near 1 indicate the
+    chains have mixed into the same distribution; Vehtari et al. (2021)
+    recommend requiring R-hat < 1.01. No reference counterpart (the
+    reference computes ESS only, `examples/rare_event/ess.py`) — built
+    because multi-chip chain parallelism makes between-chain agreement the
+    first-line health check.
+
+    Parameters
+    ----------
+    chains : Array (n_chains, n_samples)
+        Scalar chains; each chain is split in half, so the statistic detects
+        both between-chain disagreement and within-chain non-stationarity.
+    rank_normalized : bool
+        Apply the rank-normalized + folded variant (robust to heavy tails
+        and infinite variance): report the max of split-R-hat on the
+        rank-normalized values and on the rank-normalized folded values
+        |x - median(x)|. False gives the classical split-R-hat.
+
+    Returns
+    -------
+    rhat : scalar
+    """
+    chains = jnp.atleast_2d(jnp.asarray(chains))
+    split = _split_halves(chains)
+    if not rank_normalized:
+        return _rhat_of(split)
+    bulk = _rhat_of(_rank_normalize(split))
+    folded = jnp.abs(split - jnp.median(split))
+    tail = _rhat_of(_rank_normalize(folded))
+    return jnp.maximum(bulk, tail)
