@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import rare_event as re_model
-from ..utils.ess import effective_sample_size
+from ..utils.ess import effective_sample_size, potential_scale_reduction
 from . import cli
 from .runner import run_chain
 
@@ -132,13 +132,19 @@ def run_grid(args):
         xTs = s[:, ci, :, -1]
         ess_0 = float(sum(effective_sample_size(x0s[:, c]) for c in range(C)))
         ess_T = float(sum(effective_sample_size(xTs[:, c]) for c in range(C)))
+        # Between-chain health per cell (chains axis is C): split-R-hat on
+        # the endpoint coordinates; NaN for single-chain runs.
+        rhat_0 = (float(potential_scale_reduction(x0s.T)) if C >= 2
+                  else float("nan"))
+        rhat_T = (float(potential_scale_reduction(xTs.T)) if C >= 2
+                  else float("nan"))
         rows.append(dict(
             rho=rho, r2=r2,
             err_mean_0=(x0s.mean() - m0c) ** 2 / v0c,
             err_std_0=(x0s.std() - np.sqrt(v0c)) / np.sqrt(v0c),
             err_mean_T=(xTs.mean() - mTc) ** 2 / vTc,
             err_std_T=(xTs.std() - np.sqrt(vTc)) / np.sqrt(vTc),
-            ess_0=ess_0, ess_T=ess_T,
+            ess_0=ess_0, ess_T=ess_T, rhat_0=rhat_0, rhat_T=rhat_T,
             acc=float(acc[ci]), time=t_per_cell,
         ))
     return rows, res
