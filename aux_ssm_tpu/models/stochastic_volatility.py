@@ -82,11 +82,12 @@ def log_potential(xs, ys):
 
 
 def hess_log_potential_diag(xs, ys):
-    """Diagonal of the potential Hessian, elementwise (separable model)."""
-    per_elem = jax.grad(lambda x, y: jnp.sum(_log_potential_one(x, y)))
-    return jax.vmap(jax.vmap(jax.grad(
-        lambda x, y: jnp.nan_to_num(norm.logpdf(y, scale=jnp.exp(0.5 * x))))),
-    )(xs, ys)
+    """Diagonal of the potential Hessian, elementwise (separable model):
+    d²/dx² log N(y; 0, exp(x)) = -y² exp(-x) / 2 (reference
+    stochastic_volatility/model.py:56-82 second-order information)."""
+    d2 = jax.grad(jax.grad(
+        lambda x, y: jnp.nan_to_num(norm.logpdf(y, scale=jnp.exp(0.5 * x)))))
+    return jax.vmap(jax.vmap(d2))(xs, ys)
 
 
 def init_x_fn(key, ys, nu, phi, tau, rho, N):

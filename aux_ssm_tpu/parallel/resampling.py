@@ -9,11 +9,9 @@ resolved by all-gathering particles and slicing the local output range.
 All-gather of weights+particles rides ICI and is cheap next to the per-step
 model math at the N this framework targets (<= 64k particles).
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from .mesh import PARTICLES
@@ -28,7 +26,6 @@ def sharded_conditional_resample(mesh, key, weights, particles, scheme=multinomi
     Returns resampled particles with the same sharding. Bitwise identical to
     the single-chip `scheme(key, weights)` + take.
     """
-    n_shards = mesh.shape[axis]
 
     def body(w_local, p_local):
         w = jax.lax.all_gather(w_local, axis, tiled=True)

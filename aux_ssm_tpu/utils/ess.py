@@ -75,34 +75,59 @@ def effective_sample_size(chains, known_variance=None):
 
 
 def _split_halves(chains):
-    """(m, n) -> (2m, n//2): split each chain into its two halves (dropping a
-    trailing sample when n is odd)."""
+    """(m, n) -> (2m, n//2): split each chain into its first and last halves
+    (the middle sample is dropped when n is odd)."""
     m, n = chains.shape
     h = n // 2
     return jnp.concatenate([chains[:, :h], chains[:, n - h:]], axis=0)
 
 
 def _rhat_of(chains):
-    """Basic potential scale reduction of (m, n) chains, m >= 2."""
+    """Basic potential scale reduction of (m, n) chains, m >= 2.
+
+    All-constant chains (within-chain variance 0, e.g. a stuck
+    zero-acceptance run) deliberately report +inf rather than NaN or a
+    tie-order artifact."""
     m, n = chains.shape
     chain_means = jnp.mean(chains, axis=1)
     between = n * jnp.var(chain_means, ddof=1)
     within = jnp.mean(jnp.var(chains, axis=1, ddof=1))
     var_plus = within * (n - 1.0) / n + between / n
-    return jnp.sqrt(var_plus / within)
+    return jnp.where(within > 0.0, jnp.sqrt(var_plus / jnp.where(within > 0.0, within, 1.0)),
+                     jnp.inf)
 
 
 def _rank_normalize(chains):
     """Map pooled values to normal quantiles of their fractional ranks
-    (Vehtari et al. 2021 eq. 14: z = ndtri((r - 3/8) / (S + 1/4)))."""
+    (Vehtari et al. 2021 eq. 14: z = ndtri((r - 3/8) / (S + 1/4))).
+
+    Ties get the *average* rank of their group (scipy.stats.rankdata
+    'average' semantics) — MH chains are full of exact ties from rejections,
+    and ordinal tie-breaking would order ranks systematically across the
+    split halves, biasing R-hat. Ranks are accumulated in int32/float64-when-
+    available so pooled draw counts beyond the f32 integer range (~2^24) stay
+    distinct."""
     from jax.scipy.special import ndtri
 
     shape = chains.shape
     flat = chains.ravel()
+    S = flat.shape[0]
+    rank_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
     order = jnp.argsort(flat)
-    ranks = jnp.zeros_like(flat).at[order].set(
-        jnp.arange(1, flat.shape[0] + 1, dtype=chains.dtype))
-    z = ndtri((ranks - 0.375) / (flat.shape[0] + 0.25))
+    sorted_vals = flat[order]
+    # Tie groups over the sorted values: each group's average 1-based rank is
+    # (first_pos + last_pos)/2 + 1 of its positions in sort order.
+    new_group = jnp.concatenate([jnp.ones((1,), bool),
+                                 sorted_vals[1:] != sorted_vals[:-1]])
+    group_id = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+    pos = jnp.arange(S, dtype=jnp.int32)
+    # first/last position of each group via min/max scatter.
+    first = jnp.full((S,), S, jnp.int32).at[group_id].min(pos)
+    last = jnp.zeros((S,), jnp.int32).at[group_id].max(pos)
+    avg_rank = (first[group_id] + last[group_id]).astype(rank_dtype) / 2.0 + 1.0
+    ranks = jnp.zeros((S,), rank_dtype).at[order].set(avg_rank)
+    z = ndtri((ranks - 0.375) / (S + 0.25)).astype(chains.dtype)
     return z.reshape(shape)
 
 

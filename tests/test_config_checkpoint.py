@@ -147,6 +147,84 @@ def test_run_chain_kill_resume_bitwise(tmp_path):
     np.testing.assert_allclose(np.asarray(full.delta), np.asarray(resumed.delta))
 
 
+def _toy_chain_states(n_chains):
+    kernel, s = _toy_kernel_and_state()
+    states = jax.tree.map(
+        lambda z: jnp.broadcast_to(z, (n_chains,) + jnp.shape(z)), s)
+    return kernel, states
+
+
+def test_run_sharded_chains_segmented_matches_monolithic(tmp_path):
+    """Segmentation must not change the sharded chains at all (bitwise)."""
+    from aux_ssm_tpu.experiments.runner import RunConfig
+    from aux_ssm_tpu.parallel.chains import run_sharded_chains
+    from aux_ssm_tpu.parallel.mesh import make_mesh, CHAINS
+
+    kernel, states = _toy_chain_states(4)
+    cfg = RunConfig(n_samples=30, burnin=13, delta_init=0.5, verbose=False)
+    key = jax.random.key(3)
+    mesh = make_mesh(devices=jax.devices()[:4], axis_names=(CHAINS,))
+
+    st_m, stats_m, d_m, smp_m = run_sharded_chains(
+        key, kernel, states, cfg, mesh=mesh, collect_samples=True)
+    st_s, stats_s, d_s, smp_s = run_sharded_chains(
+        key, kernel, states, cfg, mesh=mesh, collect_samples=True,
+        checkpoint_dir=str(tmp_path / "ckA"), checkpoint_every=7)
+
+    assert smp_m.shape == (4, cfg.n_samples, 4)
+    np.testing.assert_array_equal(np.asarray(smp_m), np.asarray(smp_s))
+    np.testing.assert_array_equal(np.asarray(st_m.x), np.asarray(st_s.x))
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_s))
+    np.testing.assert_allclose(np.asarray(stats_m.ejsd), np.asarray(stats_s.ejsd))
+
+
+def test_run_sharded_chains_kill_resume_bitwise(tmp_path):
+    """Sharded runner killed mid-sampling must resume bitwise-identically."""
+    from aux_ssm_tpu.experiments.runner import RunConfig
+    from aux_ssm_tpu.parallel.chains import run_sharded_chains
+    from aux_ssm_tpu.parallel.mesh import make_mesh, CHAINS
+    import aux_ssm_tpu.parallel.chains as chains_mod
+
+    kernel, states = _toy_chain_states(4)
+    cfg = RunConfig(n_samples=24, burnin=10, delta_init=0.5, verbose=False)
+    key = jax.random.key(4)
+    mesh = make_mesh(devices=jax.devices()[:4], axis_names=(CHAINS,))
+
+    full = run_sharded_chains(key, kernel, states, cfg, mesh=mesh,
+                              collect_samples=True)
+
+    d = str(tmp_path / "ckB")
+
+    class Killed(RuntimeError):
+        pass
+
+    orig_save = chains_mod._save
+    calls = {"n": 0}
+
+    def dying_save(directory, payload, step):
+        orig_save(directory, payload, step)
+        calls["n"] += 1
+        if calls["n"] >= 3:  # 2 burn-in segments + 1 sampling segment
+            raise Killed()
+
+    chains_mod._save = dying_save
+    try:
+        with pytest.raises(Killed):
+            run_sharded_chains(key, kernel, states, cfg, mesh=mesh,
+                               collect_samples=True, checkpoint_dir=d,
+                               checkpoint_every=8)
+    finally:
+        chains_mod._save = orig_save
+
+    resumed = run_sharded_chains(key, kernel, states, cfg, mesh=mesh,
+                                 collect_samples=True, checkpoint_dir=d,
+                                 checkpoint_every=8)
+    np.testing.assert_array_equal(np.asarray(full[3]), np.asarray(resumed[3]))
+    np.testing.assert_array_equal(np.asarray(full[0].x),
+                                  np.asarray(resumed[0].x))
+    np.testing.assert_allclose(np.asarray(full[2]), np.asarray(resumed[2]))
+
+
 def test_run_chain_kill_resume_mid_sampling(tmp_path):
     """Kill during the sampling phase; collected samples must be complete."""
     from aux_ssm_tpu.experiments.runner import RunConfig, run_chain

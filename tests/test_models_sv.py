@@ -29,6 +29,17 @@ def test_dynamics_and_data(data):
     assert np.allclose(np.asarray(P0), np.asarray(Q))
 
 
+def test_hess_log_potential_diag_closed_form(data):
+    # d²/dx² log N(y; 0, exp(x)) = -y² exp(-x) / 2; regression for the
+    # round-2 bug where the function returned the first derivative.
+    _, ys = data
+    xs = 0.1 * jnp.arange(T * D, dtype=jnp.float64).reshape(T, D) / (T * D) - 0.05
+    got = sv.hess_log_potential_diag(xs, ys)
+    want = -0.5 * ys ** 2 * jnp.exp(-xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    assert (np.asarray(got) <= 0).all()  # log-concave likelihood
+
+
 def test_init_x_fn(data):
     _, ys = data
     x0 = sv.init_x_fn(jax.random.key(1), ys, NU, PHI, TAU, RHO, 64)
