@@ -37,6 +37,9 @@ def main(argv=None):
     p = cli.base_parser("Spatio-temporal Student-t experiment")
     p.add_argument("--T", type=int, default=1024)
     p.add_argument("--D", type=int, default=8, help="grid side; state dim = D^2")
+    p.add_argument("--batch-sharded", action="store_true",
+                   help="shard the B = D^2 component axis over all devices "
+                        "(P5; kalman styles only)")
     args = p.parse_args(argv)
     cli.apply_backend(args)
 
@@ -48,6 +51,15 @@ def main(argv=None):
                       args.D, max(args.n_particles, 32))
 
     (init, kernel), is_csmc = build_kernel(args.style, ys, args)
+    if args.batch_sharded:
+        if is_csmc:
+            raise SystemExit("--batch-sharded applies to the kalman styles "
+                             "(batched (T, B, 1, 1) layout) only")
+        from ..parallel.mesh import make_mesh, BATCH
+        from ..parallel.batch import batch_sharded_kernel, shard_time_major
+        bmesh = make_mesh(axis_names=(BATCH,))
+        kernel = batch_sharded_kernel(kernel, bmesh)
+        x0 = shard_time_major(bmesh, x0[..., None] if x0.ndim == 2 else x0)
     state = init(x0)
 
     delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)

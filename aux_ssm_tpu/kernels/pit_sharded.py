@@ -43,8 +43,12 @@ def get_sharded_kernel(Mt, G0, Gt, N, mesh, Qt=None, axis=TIME):
     """PIT-cSMC kernel with the time axis sharded over `mesh[axis]`.
 
     Same contract as `pit.get_kernel` (independent time-batched proposals
-    `Mt`, optional importance correction `Qt`). Requires T and T/C to be
-    powers of two with T/C >= 2 (C = mesh.shape[axis]).
+    `Mt`, optional importance correction `Qt`). Requires T = C * Tc with the
+    chunk length Tc = T/C a power of two >= 2 (C = mesh.shape[axis] may be
+    any count >= 1, pow2 or not): chunk-interior levels need full pow2
+    chunks, while the C-leaf boundary super-tree reuses `run_stitch_tree`'s
+    prefix-active padding — exactly the global tree's upper levels scaled by
+    Tc, so draws stay bit-identical to the single-device kernel.
     """
     C = mesh.shape[axis]
     if C == 1:
@@ -71,10 +75,11 @@ def _check_shapes(T, C):
     if T % C or (T // C) < 2:
         raise ValueError(f"time-sharded PIT needs C | T and T/C >= 2 "
                          f"(T={T}, C={C})")
-    for n, name in ((T, "T"), (T // C, "T/C")):
-        if n & (n - 1):
-            raise ValueError(f"time-sharded PIT needs {name} to be a power "
-                             f"of two (got {n})")
+    Tc = T // C
+    if Tc & (Tc - 1):
+        raise ValueError(f"time-sharded PIT needs the chunk length T/C to be "
+                         f"a power of two (got {Tc}); C itself may be any "
+                         f"device count")
 
 
 def _sharded_pit(key, x_star, Mt, G0, Gt, N, Qt, mesh, axis, C):

@@ -58,16 +58,26 @@ def sample_trajectory(key, m0, P0, theta, sigma_x, dt, n_steps):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-def observations_model(data, sig_y, n_steps, sample_every):
-    """NaN-padded observation grid: rows of ys/Hs are NaN except every
-    `sample_every` steps where (x2, x3) are observed."""
+def observations_model(data, sig_y, n_steps, sample_every=None, obs_idx=None):
+    """NaN-padded observation grid: rows of ys/Hs are NaN except at the
+    observation steps — every `sample_every` steps, or an explicit `obs_idx`
+    index array (one entry per data row) for observation times that do not
+    land on a uniform sub-grid (e.g. the Mider dataset at freq=8, where
+    0.01/dt = 12.5)."""
     ys = data[:, 1:]
+    if obs_idx is None:
+        obs_idx = np.arange(len(ys)) * sample_every
+    obs_idx = np.asarray(obs_idx, dtype=np.int64)
+    if len(obs_idx) != len(ys) or obs_idx[-1] >= n_steps:
+        raise ValueError(f"observation indices ({len(obs_idx)} entries, max "
+                         f"{obs_idx[-1]}) do not fit {len(ys)} data rows on "
+                         f"a {n_steps}-step grid")
     ys_ext = np.full((n_steps, 2), np.nan)
-    ys_ext[::sample_every] = ys
+    ys_ext[obs_idx] = ys
 
     H = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     Hs = np.full((n_steps, 2, 3), np.nan)
-    Hs[::sample_every] = H
+    Hs[obs_idx] = H
 
     Rs = np.tile(sig_y ** 2 * np.eye(2)[None], (n_steps, 1, 1))
     cs = np.zeros_like(ys_ext)

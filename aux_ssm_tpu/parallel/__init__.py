@@ -16,5 +16,8 @@ collectives over ICI; `jax.distributed.initialize` for multi-host.
 
 from .mesh import make_mesh, local_mesh
 from .chains import shard_chains, run_sharded_chains
+from .batch import (shard_batched_lgssm, shard_time_major,
+                    batch_sharded_kernel)
 
-__all__ = ["make_mesh", "local_mesh", "shard_chains", "run_sharded_chains"]
+__all__ = ["make_mesh", "local_mesh", "shard_chains", "run_sharded_chains",
+           "shard_batched_lgssm", "shard_time_major", "batch_sharded_kernel"]

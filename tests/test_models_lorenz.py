@@ -34,6 +34,30 @@ def test_observation_grid(synthetic):
     assert np.isnan(ys[mask]).all() and np.isnan(Hs[mask]).all()
 
 
+def test_mider_dataset_ships_and_aligns():
+    """The packaged Mider et al. dataset loads and the reference freq
+    semantics (dt = freq * 1e-4) produce a consistent NaN-padded grid for
+    every reference frequency, including the non-uniform freq=8 case."""
+    from aux_ssm_tpu.experiments.lorenz import MIDER_DATA
+
+    data = np.loadtxt(MIDER_DATA, delimiter=",", skiprows=1)
+    assert data.shape == (201, 3)
+    np.testing.assert_allclose(data[:, 0], np.arange(201) * 0.01, atol=1e-12)
+
+    for freq in (1, 2, 4, 8):
+        dt = freq * 1e-4
+        n_steps = int(round(data[-1, 0] / dt)) + 1
+        obs_idx = np.rint(data[:, 0] / dt).astype(np.int64)
+        assert len(np.unique(obs_idx)) == 201     # no collisions
+        ys, Hs, Rs, cs = lorenz.observations_model(data, 5.0 ** 0.5, n_steps,
+                                                   obs_idx=obs_idx)
+        assert ys.shape == (n_steps, 2)
+        assert np.isfinite(ys[obs_idx]).all()
+        mask = np.ones(n_steps, bool)
+        mask[obs_idx] = False
+        assert np.isnan(ys[mask]).all() and np.isnan(Hs[mask]).all()
+
+
 def test_theta_posterior_is_conjugate(synthetic):
     """Flat-ish prior: the posterior mean must approach the ridge/OLS
     solution of the per-step regression."""

@@ -93,11 +93,37 @@ def test_sharded_chain_runs_and_updates():
 
 
 def test_shape_validation():
+    # 8 devices, T=24 -> T/C=3 is not a power of two.
     Mt, g0, Gt = _setup(24, 1, 8, GenericGt)
     mesh = make_mesh(axis_names=(TIME,))
     init_s, _ = pit_sharded.get_sharded_kernel(Mt, g0, Gt, 8, mesh)
     with pytest.raises(ValueError):
         init_s(jnp.zeros((24, 1)))
+
+
+@pytest.mark.parametrize("gt_cls", [GenericGt, FactorGt])
+@pytest.mark.parametrize("C,Tc,N", [(3, 8, 16), (6, 4, 8)])
+def test_non_pow2_chunk_count_matches_single_device(gt_cls, C, Tc, N):
+    """C need not be a power of two — only the chunk length T/C must be.
+    The C-leaf boundary super-tree rides run_stitch_tree's prefix-active
+    padding, reproducing the global tree's upper levels bit-for-bit."""
+    import jax.sharding as shd
+    T, D = C * Tc, 1
+    Mt, g0, Gt = _setup(T, D, N, gt_cls, seed=C)
+    mesh = shd.Mesh(np.asarray(jax.devices()[:C]), (TIME,))
+
+    init_s, kern_s = pit_sharded.get_sharded_kernel(Mt, g0, Gt, N, mesh)
+    init_1, kern_1 = pit.get_kernel(Mt, g0, Gt, N)
+
+    x0 = jnp.zeros((T, D), jnp.float32)
+    key = jax.random.key(11)
+    out_s = jax.jit(kern_s)(key, init_s(x0))
+    out_1 = jax.jit(kern_1)(key, init_1(x0))
+
+    np.testing.assert_array_equal(np.asarray(out_s.updated),
+                                  np.asarray(out_1.updated))
+    np.testing.assert_allclose(np.asarray(out_s.x), np.asarray(out_1.x),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_single_device_mesh_falls_back():
