@@ -267,6 +267,13 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
             return u + scale ** 2 * jax.grad(_obs_logpdf)(u, y)
         return u
 
+    # The per-step proposal gain/Cholesky depend only on (Q, scale_t): one
+    # batched (T-1, d, d) solve+cholesky at factory time instead of TWO d x d
+    # solves inside every scan step (Mt.sample and Gt both recomputed them —
+    # the dominant cost of the guided body at d=30; reference
+    # auxiliary_guided_csmc.py:143-156 recomputes per step).
+    gain_and_chol_t = jax.vmap(gain_and_chol, in_axes=(None, 0))
+
     @chex.dataclass
     class GuidedM0(Distribution):
         u: chex.Array
@@ -305,8 +312,7 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
             return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, params)
 
         def sample_from_noise(self, eps, x_t, params):
-            u, scale, y = params
-            K, cholL = gain_and_chol(Q, scale)
+            u, scale, y, K, cholL = params
             x_pred = x_t @ F.T + b
             mu = x_pred + (shift(u, scale, y)[None] - x_pred) @ K.T
             return mu + eps @ cholL.T
@@ -314,8 +320,7 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
     @chex.dataclass
     class GuidedGt(Potential):
         def __call__(self, x_next, x_t, params):
-            u, scale, y = params
-            K, cholL = gain_and_chol(Q, scale)
+            u, scale, y, K, cholL = params
             x_pred = jnp.einsum("ij,...j->...i", F, x_t) + b
             mu = x_pred + jnp.einsum("ij,...j->...i", K, shift(u, scale, y) - x_pred)
             out = _obs_logpdf(x_next, y)
@@ -325,11 +330,12 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
             return out
 
     def factory(u, scale):
+        Ks, cholLs = gain_and_chol_t(Q, scale[1:])
         return (
             GuidedM0(u=u[0], scale=scale[0], y=ys[0]),
             GuidedG0(u=u[0], scale=scale[0], y=ys[0]),
-            GuidedMt(params=(u[1:], scale[1:], ys[1:])),
-            GuidedGt(params=(u[1:], scale[1:], ys[1:])),
+            GuidedMt(params=(u[1:], scale[1:], ys[1:], Ks, cholLs)),
+            GuidedGt(params=(u[1:], scale[1:], ys[1:], Ks, cholLs)),
         )
 
     return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)

@@ -111,6 +111,23 @@ def test_parallel_equals_sequential_large():
     np.testing.assert_allclose(ell_s, ell_p, rtol=1e-7)
 
 
+@pytest.mark.parametrize("T,dx,dy,nan_frac", [
+    (9, 2, 2, 0.2), (16, 4, 3, 0.0), (12, 1, 1, 0.3)])
+def test_make_target_logpdf_matches_sum(T, dx, dy, nan_frac):
+    """The precomputed-factor closure must equal prior + log_likelihood
+    (it exists because XLA won't hoist Cholesky custom calls out of while
+    bodies; same math, factors computed once)."""
+    from aux_ssm_tpu.ops.lgssm import make_target_logpdf
+
+    params, ys = _make(5, T, dx, dy, nan_frac=nan_frac)
+    lgssm = LGSSM(*map(jnp.asarray, params))
+    ys = jnp.asarray(ys)
+    xs = jnp.asarray(np.random.default_rng(1).standard_normal((T, dx)))
+    want = log_likelihood(ys, xs, lgssm) + prior_logpdf(xs, lgssm)
+    got = make_target_logpdf(ys, lgssm)(xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+
+
 def test_loglikelihood_and_prior_shapes():
     params, ys = _make(2, 9, 2, 2, nan_frac=0.2)
     lgssm = LGSSM(*map(jnp.asarray, params))
