@@ -16,12 +16,12 @@ Sampler styles provided (reference experiment.py:141-154):
                   gradient-shifted, optionally parallel-in-time)
     csmc-guided   Kalman-gain guided auxiliary PG
 """
+import math
 from functools import partial
 
 import chex
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, solve
 from jax.scipy.stats import norm
 
 from ..kernels import csmc_aux, csmc_independent
@@ -250,29 +250,54 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
     gain K = Q (Q + delta/2 I)^{-1}, mean x_pred + K (u' - x_pred),
     covariance Q - K Q, with u' optionally gradient-shifted
     (reference auxiliary_guided_csmc.py:143-156)."""
+    factory, Pt = make_guided_factory(ys, nu, phi, tau, rho, gradient)
+    return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)
+
+
+def make_guided_factory(ys, nu, phi, tau, rho, gradient=False):
+    """(factory, Pt) for the guided style; exposed so the proposal/weight law
+    can be oracle-tested directly (see tests/test_models_sv.py)."""
     T, d = ys.shape
     m0, P0, F, Q, b = get_dynamics(nu, phi, tau, rho, d)
     _, _, Pt, _ = get_feynman_kac(ys, nu, phi, tau, rho)
-    chol_P0 = jnp.linalg.cholesky(P0)
-    chol_Q = jnp.linalg.cholesky(Q)
-    eye = jnp.eye(d)
 
-    def gain_and_chol(cov, scale):
-        K = solve(cov + scale ** 2 * eye, cov, assume_a="pos").T
-        Lam = cov - K @ cov
-        return K, jnp.linalg.cholesky(0.5 * (Lam + Lam.T))
+    # Eigendecompositions of the (constant) covariances, computed EAGERLY at
+    # kernel-build time. Every per-step quantity of the guided proposal is a
+    # function of Q commuting with Q, so in Q's eigenbasis the gain and the
+    # proposal covariance are elementwise eigenvalue transforms:
+    #     K_t   = V diag(lam / (lam + s_t^2)) V^T
+    #     Lam_t = V diag(lam s_t^2 / (lam + s_t^2)) V^T
+    # This keeps the MCMC while-body free of linalg custom calls (Cholesky /
+    # triangular inversion), which XLA cannot hoist out of loops even when
+    # their inputs are loop-invariant — profiled at >60% of the guided step
+    # (reference auxiliary_guided_csmc.py:143-156 runs the solves per step).
+    # Sampling uses the symmetric square root V diag(sqrt) V^T: same law as
+    # a Cholesky factor, matmul-only.
+    lamQ, VQ = jnp.linalg.eigh(Q)
+    lam0, V0 = jnp.linalg.eigh(P0)
+    inv_sqrt_lamQ = 1.0 / jnp.sqrt(lamQ)
+    half_logdet_Q = 0.5 * jnp.sum(jnp.log(lamQ))
+    _HALF_D_LOG2PI = 0.5 * d * math.log(2.0 * math.pi)
 
     def shift(u, scale, y):
         if gradient:
             return u + scale ** 2 * jax.grad(_obs_logpdf)(u, y)
         return u
 
-    # The per-step proposal gain/Cholesky depend only on (Q, scale_t): one
-    # batched (T-1, d, d) solve+cholesky at factory time instead of TWO d x d
-    # solves inside every scan step (Mt.sample and Gt both recomputed them —
-    # the dominant cost of the guided body at d=30; reference
-    # auxiliary_guided_csmc.py:143-156 recomputes per step).
-    gain_and_chol_t = jax.vmap(gain_and_chol, in_axes=(None, 0))
+    def _eigen_factors(lam, scale):
+        """(gain, sqrt(Lam), 1/sqrt(Lam), 0.5 log det Lam) eigenvalues for
+        proposal scale(s) `scale`; broadcasts (T,) scales against (d,) lam."""
+        s2 = jnp.asarray(scale) ** 2
+        g = lam / (lam + s2)
+        lamL = lam * s2 / (lam + s2)
+        sqrtL = jnp.sqrt(lamL)
+        return g, sqrtL, 1.0 / sqrtL, 0.5 * jnp.sum(jnp.log(lamL), axis=-1)
+
+    def _rot(x, V):
+        return jnp.einsum("...j,jk->...k", x, V)
+
+    def _unrot(x, V):
+        return jnp.einsum("...k,jk->...j", x, V)
 
     @chex.dataclass
     class GuidedM0(Distribution):
@@ -281,17 +306,20 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
         y: chex.Array
 
         def _moments(self):
-            K, cholL = gain_and_chol(P0, self.scale)
-            mu = m0 + K @ (shift(self.u, self.scale, self.y) - m0)
-            return mu, cholL
+            g, sqrtL, inv_sqrtL, hld = _eigen_factors(lam0, self.scale)
+            resid = shift(self.u, self.scale, self.y) - m0
+            mu = m0 + _unrot(_rot(resid, V0) * g, V0)
+            return mu, sqrtL, inv_sqrtL, hld
 
         def sample(self, key, N):
-            mu, cholL = self._moments()
-            return mu[None] + jax.random.normal(key, (N, d)) @ cholL.T
+            mu, sqrtL, _, _ = self._moments()
+            eps = jax.random.normal(key, (N, d))
+            return mu[None] + _unrot(_rot(eps, V0) * sqrtL, V0)
 
         def logpdf(self, x):
-            mu, cholL = self._moments()
-            return mvn.logpdf(x, mu, cholL)
+            mu, _, inv_sqrtL, hld = self._moments()
+            w = _rot(x - mu, V0) * inv_sqrtL
+            return -0.5 * jnp.sum(w * w, -1) - hld - _HALF_D_LOG2PI
 
     @chex.dataclass
     class GuidedG0(UnivariatePotential):
@@ -300,11 +328,22 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
         y: chex.Array
 
         def __call__(self, x):
-            mu, cholL = GuidedM0(u=self.u, scale=self.scale, y=self.y)._moments()
-            out = _obs_logpdf(x, self.y) + mvn.logpdf(x, m0, chol_P0)
+            prop = GuidedM0(u=self.u, scale=self.scale, y=self.y)
+            w0 = _rot(x - m0, V0) / jnp.sqrt(lam0)
+            out = _obs_logpdf(x, self.y)
+            out += -0.5 * jnp.sum(w0 * w0, -1) \
+                - 0.5 * jnp.sum(jnp.log(lam0)) - _HALF_D_LOG2PI
             out += jnp.sum(norm.logpdf(x, self.u, self.scale), -1)
-            out -= mvn.logpdf(x, mu, cholL)
-            return out
+            return out - prop.logpdf(x)
+
+    # Transition algebra carried entirely in Q's eigenbasis (z = V^T x):
+    #   rot(x_pred) = x_t @ FR + bR with FR = F^T V precomputed, and the
+    #   (rotated, possibly gradient-shifted) auxiliary observation is a
+    #   factory-time batch — the scan body is then 2 matmuls for Mt, 2 for
+    #   Gt, everything else elementwise. The proposal noise `eps` is consumed
+    #   directly as eigenbasis noise (a rotation of iid normals is iid).
+    FR = F.T @ VQ
+    bR = b @ VQ
 
     @chex.dataclass
     class GuidedMt(Dynamics):
@@ -312,30 +351,38 @@ def get_guided_csmc_kernel(ys, nu, phi, tau, rho, n_particles, backward=False,
             return self.sample_from_noise(jax.random.normal(key, x_t.shape), x_t, params)
 
         def sample_from_noise(self, eps, x_t, params):
-            u, scale, y, K, cholL = params
-            x_pred = x_t @ F.T + b
-            mu = x_pred + (shift(u, scale, y)[None] - x_pred) @ K.T
-            return mu + eps @ cholL.T
+            _u, _scale, _y, rotS, g, sqrtL, _inv, _hld = params
+            zp = x_t @ FR + bR
+            zn = zp + g * (rotS[None] - zp) + sqrtL * eps
+            return _unrot(zn, VQ)
 
     @chex.dataclass
     class GuidedGt(Potential):
         def __call__(self, x_next, x_t, params):
-            u, scale, y, K, cholL = params
-            x_pred = jnp.einsum("ij,...j->...i", F, x_t) + b
-            mu = x_pred + jnp.einsum("ij,...j->...i", K, shift(u, scale, y) - x_pred)
+            u, scale, y, rotS, g, _sqrtL, inv_sqrtL, hld = params
+            zp = jnp.einsum("...j,jk->...k", x_t, FR) + bR
+            zn = _rot(x_next, VQ)
+            zmu = zp + g * (rotS - zp)
             out = _obs_logpdf(x_next, y)
-            out += mvn.logpdf(x_next, x_pred, chol_Q)
+            wq = (zn - zp) * inv_sqrt_lamQ
+            out += -0.5 * jnp.sum(wq * wq, -1) - half_logdet_Q - _HALF_D_LOG2PI
             out += jnp.sum(norm.logpdf(x_next, u, scale), -1)
-            out -= mvn.logpdf(x_next, mu, cholL)
+            wl = (zn - zmu) * inv_sqrtL
+            out -= -0.5 * jnp.sum(wl * wl, -1) - hld - _HALF_D_LOG2PI
             return out
 
     def factory(u, scale):
-        Ks, cholLs = gain_and_chol_t(Q, scale[1:])
+        g, sqrtL, inv_sqrtL, hld = _eigen_factors(lamQ, scale[1:, None])
+        shifts = (jax.vmap(shift)(u[1:], scale[1:], ys[1:])
+                  if gradient else u[1:])
+        rotS = _rot(shifts, VQ)
         return (
             GuidedM0(u=u[0], scale=scale[0], y=ys[0]),
             GuidedG0(u=u[0], scale=scale[0], y=ys[0]),
-            GuidedMt(params=(u[1:], scale[1:], ys[1:], Ks, cholLs)),
-            GuidedGt(params=(u[1:], scale[1:], ys[1:], Ks, cholLs)),
+            GuidedMt(params=(u[1:], scale[1:], ys[1:], rotS, g, sqrtL,
+                             inv_sqrtL, hld)),
+            GuidedGt(params=(u[1:], scale[1:], ys[1:], rotS, g, sqrtL,
+                             inv_sqrtL, hld)),
         )
 
-    return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)
+    return factory, Pt

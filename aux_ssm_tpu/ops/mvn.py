@@ -40,6 +40,28 @@ def logpdf(x, m, chol):
     """
     x, m = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(m))
     chol = jnp.asarray(chol)
+
+    if chol.ndim == 2 and x.ndim >= 2:
+        # Unbatched factor, batched points: ONE triangular solve against the
+        # stacked right-hand sides. Broadcasting the factor to the batch
+        # instead makes the TPU lowering re-invert the SAME (d, d) diagonal
+        # blocks once per batch element (profiled: a (25,1,30,30)
+        # InvertDiagBlocks custom call per logpdf — O(N d^3) — dominating the
+        # guided-cSMC step at 57us per call vs 2.3us unbatched).
+        diag = jnp.diagonal(chol)
+        finite = jnp.isfinite(diag)
+        dim = jnp.sum(finite, axis=-1)
+        big = jnp.sqrt(jnp.finfo(chol.dtype).max)
+        chol_sat = jnp.nan_to_num(chol, nan=big, posinf=big, neginf=-big)
+        diff = x - m
+        flat = diff.reshape(-1, diff.shape[-1])
+        y = solve_triangular(chol_sat, flat.T, lower=True).T.reshape(diff.shape)
+        log_norm = tril_log_det(chol) + 0.5 * dim * _LOG_2PI
+        quad = jnp.sum(jnp.where(finite, y * y, 0.0), axis=-1)
+        out = -0.5 * quad - log_norm
+        cap = jnp.finfo(chol.dtype).max
+        return jnp.clip(out, -cap, cap)
+
     batch = jnp.broadcast_shapes(x.shape[:-1], chol.shape[:-2])
     x = jnp.broadcast_to(x, batch + x.shape[-1:])
     m = jnp.broadcast_to(m, batch + m.shape[-1:])

@@ -87,6 +87,69 @@ def test_csmc_styles_move(data, style):
     assert np.isfinite(np.asarray(state.x)).all()
 
 
+def test_guided_factory_matches_solve_oracle(data):
+    """The eigenbasis guided proposal/weight algebra must reproduce the
+    solve/Cholesky definition exactly: K = Q (Q + s^2 I)^{-1},
+    Lam = Q - K Q, Gt = obs + N(x'; x_pred, Q) + N(x'; u, s) - N(x'; mu, Lam)
+    (reference auxiliary_guided_csmc.py:143-156). Also pins the sampling
+    covariance of Mt (symmetric-sqrt noise map: S S^T = Lam)."""
+    from scipy.stats import multivariate_normal, norm as snorm
+
+    _, ys = data
+    N = 6
+    factory, _Pt = sv.make_guided_factory(ys, NU, PHI, TAU, RHO)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((T, D)))
+    scale = jnp.asarray(rng.uniform(0.2, 0.6, size=T))
+    M0, G0, Mt, Gt = factory(u, scale)
+
+    m0, P0, F, Q, b = map(np.asarray, sv.get_dynamics(NU, PHI, TAU, RHO, D))
+    x_t = rng.standard_normal((N, D))
+    x_n = rng.standard_normal((N, D))
+
+    for t in (1, T // 2, T - 1):
+        s2 = float(scale[t]) ** 2
+        K = Q @ np.linalg.inv(Q + s2 * np.eye(D))
+        Lam = Q - K @ Q
+        x_pred = x_t @ F.T + b
+        mu = x_pred + (np.asarray(u[t]) - x_pred) @ K.T
+
+        # Weight law.
+        params_t = jax.tree.map(lambda z: z[t - 1], Gt.params)
+        got = np.asarray(Gt(jnp.asarray(x_n), jnp.asarray(x_t), params_t))
+        want = np.zeros(N)
+        for i in range(N):
+            want[i] = (snorm.logpdf(np.asarray(ys[t]), 0.0,
+                                    np.exp(0.5 * x_n[i])).sum()
+                       + multivariate_normal.logpdf(x_n[i], x_pred[i], Q)
+                       + snorm.logpdf(x_n[i], np.asarray(u[t]),
+                                      float(scale[t])).sum()
+                       - multivariate_normal.logpdf(x_n[i], mu[i], Lam))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+        # Proposal law: mean at eps=0, covariance of the noise map.
+        params_m = jax.tree.map(lambda z: z[t - 1], Mt.params)
+        mean_got = np.asarray(Mt.sample_from_noise(
+            jnp.zeros((N, D)), jnp.asarray(x_t), params_m))
+        np.testing.assert_allclose(mean_got, mu, rtol=1e-8, atol=1e-8)
+        eye_eps = jnp.eye(D)
+        cols = np.asarray(Mt.sample_from_noise(
+            eye_eps, jnp.zeros((D, D)), params_m))  # rows: mu0 + S e_k
+        mu0 = np.asarray(Mt.sample_from_noise(
+            jnp.zeros((1, D)), jnp.zeros((1, D)), params_m))[0]
+        S = (cols - mu0).T
+        np.testing.assert_allclose(S @ S.T, Lam, rtol=1e-7, atol=1e-9)
+
+    # M0 law.
+    K0 = P0 @ np.linalg.inv(P0 + float(scale[0]) ** 2 * np.eye(D))
+    Lam0 = P0 - K0 @ P0
+    mu0_want = m0 + K0 @ (np.asarray(u[0]) - m0)
+    lp = np.asarray(M0.logpdf(jnp.asarray(x_t)))
+    want0 = np.array([multivariate_normal.logpdf(x_t[i], mu0_want, Lam0)
+                      for i in range(N)])
+    np.testing.assert_allclose(lp, want0, rtol=1e-8, atol=1e-8)
+
+
 @pytest.mark.slow
 def test_styles_agree_on_posterior(data):
     """kalman-1 and guided cSMC must target the same posterior: their
