@@ -296,7 +296,8 @@ def get_kernel(Mt: Distribution, G0: UnivariatePotential, Gt: Potential, N: int,
     return init, kernel
 
 
-def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
+def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt, score_mesh=None,
+              score_axis=None):
     """Index-composition PIT engine.
 
     TPU-native redesign of the dSMC tree (reference `pit/dc_map.py:37-123` +
@@ -344,15 +345,47 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt):
     params = jax.tree.map(lambda f, z: jnp.concatenate([f, z], axis=0), fake, params)
 
     sels, root = run_stitch_tree(xs, xs, log_wts, resample_keys, params, Gt, N,
-                                 include_root=True)
+                                 include_root=True, score_mesh=score_mesh,
+                                 score_axis=score_axis)
     idx0 = _root_init(root, T, N)
     idx = resolve_genealogy(sels, idx0, T, N)
     x_out = jnp.take_along_axis(xs, idx[:, None, None], axis=1)[:, 0]
     return x_out, idx
 
 
+def _sharded_block_masses(score_mesh, score_axis, rf, cf, cb, use_pallas):
+    """Column-sharded block-mass pass: each chip scores the full row set
+    against its LOCAL whole-128-column blocks, then the (P, N, nb) masses are
+    all-gathered for the replicated stage-1/2 draws. Each block's log-mass
+    depends only on that block's columns, so whole-block sharding is
+    bit-identical to the single-chip pass (SURVEY hard-part 3; reference
+    single-device law `pit/operator.py:72-81`)."""
+    from jax.sharding import PartitionSpec as _P
+    from jax import shard_map as _shard_map
+
+    fn = _stitch.block_masses if use_pallas else _stitch.block_masses_xla
+    S = score_mesh.shape[score_axis]
+    if cf.shape[1] % (128 * S):
+        raise ValueError(
+            f"particle-sharded stitching needs N/S a multiple of 128 "
+            f"(N={cf.shape[1]}, S={S})")
+
+    def body(rf_full, cf_loc, cb_loc):
+        Lb_loc = fn(rf_full, cf_loc, cb_loc)        # (P, N, nb_local)
+        return jax.lax.all_gather(Lb_loc, score_axis, axis=2, tiled=True)
+
+    # check_vma off: the all-gathered masses ARE replicated (identical block
+    # order on every chip) but the varying-axes analysis cannot infer it.
+    return _shard_map(
+        body, mesh=score_mesh,
+        in_specs=(_P(), _P(None, score_axis), _P(None, score_axis)),
+        out_specs=_P(), check_vma=False,
+    )(rf, cf, cb)
+
+
 def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
-                    include_root, level_seeds=None, pair_offsets=None):
+                    include_root, level_seeds=None, pair_offsets=None,
+                    score_mesh=None, score_axis=None):
     """Run the dSMC stitching levels over S "steps", recording selections.
 
     left_vals / right_vals : (S, N, d) particle sets serving as a node's
@@ -423,7 +456,9 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
             off_k = 0 if pair_offsets is None else pair_offsets[k]
             rows, cols = _fused_node_draw(xl, xr, lw_l, lw_r, params_r,
                                           node_keys, Gt, N, last, use_pallas,
-                                          seed=seed_k, pair_offset=off_k)
+                                          seed=seed_k, pair_offset=off_k,
+                                          score_mesh=score_mesh,
+                                          score_axis=score_axis)
         else:
             rows, cols = _generic_node_draw(xl, xr, lw_l, lw_r, params_r,
                                             node_keys, Gt, N, last)
@@ -496,21 +531,29 @@ def _boundary_sigma(ts_np, k, sels, N):
 
 
 def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
-                     use_pallas, seed=None, pair_offset=0):
+                     use_pallas, seed=None, pair_offset=0, score_mesh=None,
+                     score_axis=None):
     """Two-stage factorised draw for one level's nodes — the law of
     `fused_stitching_operator` on boundary rows only. Returns (rows, cols),
     each (n_act, N) (or (n_act, 1) at the root). `seed`/`pair_offset`
     override the stage-2 counter base so a launch over a slice of a level's
-    nodes (cross-chip sharding) draws bit-identically to the full launch."""
+    nodes (cross-chip sharding) draws bit-identically to the full launch.
+    With `score_mesh`, the O(N^2) block-mass pass is column-sharded over
+    `score_mesh[score_axis]` (the root stays replicated — its law uses the
+    streaming row-LSE, and it is 1/(T-1) of the tree's score work)."""
     rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, params_r)
     rb = rb + lw_l
     cb = cb + lw_r
 
-    blocked = _use_blocked_stitch(N) and not last
+    blocked = (_use_blocked_stitch(N) or score_mesh is not None) and not last
     mode = _draws_mode() if blocked else None
     if blocked:
-        Lb = (_stitch.block_masses(rf, cf, cb) if use_pallas
-              else _stitch.block_masses_xla(rf, cf, cb))   # (n_act, N, nb)
+        if score_mesh is not None:
+            Lb = _sharded_block_masses(score_mesh, score_axis, rf, cf, cb,
+                                       use_pallas)         # (n_act, N, nb)
+        else:
+            Lb = (_stitch.block_masses(rf, cf, cb) if use_pallas
+                  else _stitch.block_masses_xla(rf, cf, cb))  # (n_act, N, nb)
         # The joint draw never needs the row marginals (they are implicit in
         # the flat (row, block) categorical) — skip the full-Lb logsumexp.
         row_logits = None if mode == "joint" else rb + logsumexp(Lb, axis=-1)

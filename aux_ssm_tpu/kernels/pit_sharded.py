@@ -35,8 +35,48 @@ from jax import shard_map
 
 from .csmc_base import CSMCState
 from .pit import (run_stitch_tree, resolve_genealogy, _root_init,
-                  _boundary_sigma)
+                  _boundary_sigma, _pit_csmc as _pit_csmc_single)
+from ..parallel.mesh import PARTICLES
 from ..parallel.time_scan import TIME
+
+
+def get_particle_sharded_kernel(Mt, G0, Gt, N, mesh, Qt=None, axis=PARTICLES):
+    """PIT-cSMC kernel with the N^2 stitching score work sharded over a
+    `particles` mesh axis (SURVEY hard-part 3: N=4096 is 16M weights per
+    node; reference single-device law `pit/operator.py:72-81`).
+
+    Decomposition: each chip computes the per-128-column block log-masses
+    for its own whole-block column slice of every node (`block_masses` —
+    the O(N^2) hot pass), the (N, nb) masses are all-gathered (O(N) floats
+    per node, rides ICI), and the two-stage categorical draws run replicated
+    with the single-device seed/pair_offset counter stream. Because each
+    block's mass depends only on that block's columns, the sharded kernel is
+    BIT-IDENTICAL to the single-device engine with blocked stitching
+    (`AUX_SSM_STITCH=blocked`).
+
+    Requires `Gt.supports_pairwise_factors` and N/S a multiple of 128
+    (S = mesh.shape[axis]). Composable with per-chain vmap on an outer axis.
+    """
+    if not getattr(Gt, "supports_pairwise_factors", False):
+        raise ValueError("particle-sharded PIT needs a pair-factorisable Gt "
+                         "(supports_pairwise_factors)")
+    S = mesh.shape[axis]
+    if N % (128 * S):
+        raise ValueError(f"particle-sharded PIT needs N/S a multiple of 128 "
+                         f"(N={N}, S={S})")
+
+    score_mesh = None if S == 1 else mesh
+
+    def kernel(key, state):
+        x, picked = _pit_csmc_single(key, state.x, Mt, G0, Gt, N, Qt,
+                                     score_mesh=score_mesh, score_axis=axis)
+        return CSMCState(x=x, updated=picked != 0)
+
+    def init(x_star):
+        T = x_star.shape[0]
+        return CSMCState(x=x_star, updated=jnp.zeros((T,), dtype=bool))
+
+    return init, kernel
 
 
 def get_sharded_kernel(Mt, G0, Gt, N, mesh, Qt=None, axis=TIME):

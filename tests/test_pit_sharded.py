@@ -101,6 +101,47 @@ def test_shape_validation():
         init_s(jnp.zeros((24, 1)))
 
 
+@pytest.mark.parametrize("S,N,T", [(4, 512, 8), (2, 256, 12)])
+def test_particle_sharded_matches_single_device(S, N, T, monkeypatch):
+    """The column-sharded block-mass stitching must be bit-identical to the
+    single-device engine with blocked stitching (each 128-column block's
+    log-mass depends only on that block's columns; draws run replicated on
+    the all-gathered masses with the same counter stream)."""
+    import jax.sharding as shd
+    from aux_ssm_tpu.parallel.mesh import PARTICLES
+
+    monkeypatch.setenv("AUX_SSM_STITCH", "blocked")
+    D = 1
+    Mt, g0, Gt = _setup(T, D, N, FactorGt, seed=S)
+    mesh = shd.Mesh(np.asarray(jax.devices()[:S]), (PARTICLES,))
+
+    init_p, kern_p = pit_sharded.get_particle_sharded_kernel(Mt, g0, Gt, N,
+                                                             mesh)
+    init_1, kern_1 = pit.get_kernel(Mt, g0, Gt, N)
+
+    x0 = jnp.zeros((T, D), jnp.float32)
+    key = jax.random.key(23)
+    out_p = jax.jit(kern_p)(key, init_p(x0))
+    out_1 = jax.jit(kern_1)(key, init_1(x0))
+
+    np.testing.assert_array_equal(np.asarray(out_p.updated),
+                                  np.asarray(out_1.updated))
+    np.testing.assert_array_equal(np.asarray(out_p.x), np.asarray(out_1.x))
+
+
+def test_particle_sharded_validation():
+    import jax.sharding as shd
+    from aux_ssm_tpu.parallel.mesh import PARTICLES
+
+    Mt, g0, Gt = _setup(8, 1, 64, FactorGt)
+    mesh = shd.Mesh(np.asarray(jax.devices()[:4]), (PARTICLES,))
+    with pytest.raises(ValueError):     # N/S = 16, not a multiple of 128
+        pit_sharded.get_particle_sharded_kernel(Mt, g0, Gt, 64, mesh)
+    Mt, g0, Gt2 = _setup(8, 1, 512, GenericGt)
+    with pytest.raises(ValueError):     # no pairwise factors
+        pit_sharded.get_particle_sharded_kernel(Mt, g0, Gt2, 512, mesh)
+
+
 @pytest.mark.parametrize("gt_cls", [GenericGt, FactorGt])
 @pytest.mark.parametrize("C,Tc,N", [(3, 8, 16), (6, 4, 8)])
 def test_non_pow2_chunk_count_matches_single_device(gt_cls, C, Tc, N):
