@@ -111,18 +111,50 @@ def init_x_fn(data, n_steps):
     return xs
 
 
-def get_kalman_kernel(ys, Hs, Rs, cs, m0, P0, theta, sigma_x, dt, parallel):
+def target_whiteners(m0, P0, Rs, sigma_x, dt):
+    """Theta-INDEPENDENT factorisations of the target density, computed once
+    eagerly. The Gibbs step rebuilds the Kalman kernel inside the traced
+    body (theta changes every step), and XLA never hoists Cholesky custom
+    calls out of while bodies — without this the constant chol(P0)/chol(Q)/
+    batched chol(Rs) refactorise every Gibbs iteration."""
+    from jax.scipy.linalg import solve_triangular
+
+    Q = dt * sigma_x ** 2 * jnp.eye(3)
+    chol_P0 = jnp.linalg.cholesky(P0)
+    chol_Q = jnp.linalg.cholesky(Q)
+    chol_Rs = jnp.linalg.cholesky(Rs)
+    eye_y = jnp.broadcast_to(jnp.eye(Rs.shape[-1], dtype=Rs.dtype),
+                             chol_Rs.shape)
+    return {
+        "chol_P0": chol_P0, "chol_Q": chol_Q,
+        "inv_chol_Rs": solve_triangular(chol_Rs, eye_y, lower=True),
+        "logdet_Rs": jnp.sum(jnp.log(jnp.diagonal(chol_Rs, axis1=-2,
+                                                  axis2=-1)), axis=-1),
+    }
+
+
+def get_kalman_kernel(ys, Hs, Rs, cs, m0, P0, theta, sigma_x, dt, parallel,
+                      whiteners=None):
     """Auxiliary Kalman kernel with per-step extended linearisation of the
-    nonlinear drift and u-rows concatenated with the real observations."""
+    nonlinear drift and u-rows concatenated with the real observations.
+
+    Pass `whiteners` (from `target_whiteners`, computed OUTSIDE any jit/
+    scan) when constructing the kernel inside a traced Gibbs body so the
+    constant target factorisations stay out of the loop."""
+    import math as _math
     T = ys.shape[0]
     eye = jnp.eye(3)
     eyes = jnp.tile(eye[None], (T, 1, 1))
 
     mean, Q = get_dynamics(theta, sigma_x, dt)
     cov = lambda _x, _p: Q
-    chol_P0 = jnp.linalg.cholesky(P0)
-    chol_Q = jnp.linalg.cholesky(Q)
-    chol_Rs = jnp.linalg.cholesky(Rs)
+    if whiteners is None:
+        whiteners = target_whiteners(m0, P0, Rs, sigma_x, dt)
+    chol_P0 = whiteners["chol_P0"]
+    chol_Q = whiteners["chol_Q"]
+    inv_chol_Rs = whiteners["inv_chol_Rs"]
+    logdet_Rs = whiteners["logdet_Rs"]
+    dy = Rs.shape[-1]
 
     def dynamics_factory(x):
         Fs, Qs, bs = jax.vmap(lambda z: extended(mean, cov, None, z, None))(x[:-1])
@@ -141,9 +173,11 @@ def get_kalman_kernel(ys, Hs, Rs, cs, m0, P0, theta, sigma_x, dt, parallel):
         out += jnp.sum(mvn.logpdf(x[1:], pred_x, chol_Q))
         pred_y = jnp.einsum("ijk,ik->ij", jnp.nan_to_num(Hs), x) + cs
         mask = jnp.isfinite(ys[:, 0])
-        loglik = jnp.where(mask, mvn.logpdf(jnp.where(mask[:, None], ys, pred_y),
-                                            pred_y, chol_Rs), 0.0)
-        return out + jnp.sum(loglik)
+        diff = jnp.where(mask[:, None], jnp.nan_to_num(ys) - pred_y, 0.0)
+        w = jnp.einsum("tij,tj->ti", inv_chol_Rs, diff)
+        step = -0.5 * jnp.sum(w * w, -1) - logdet_Rs \
+            - 0.5 * dy * _math.log(2.0 * _math.pi)
+        return out + jnp.sum(jnp.where(mask, step, 0.0))
 
     return get_kalman_generic(dynamics_factory, observations_factory,
                               log_likelihood_fn, parallel)
@@ -170,10 +204,16 @@ def get_gibbs_kernel(ys, Hs, Rs, cs, m0, P0, sigma_x, dt, sigma_theta, parallel)
         def updated(self):
             return self.kalman_state.updated
 
+    # Theta-independent target factorisations, computed ONCE outside the
+    # traced step (inside it they would re-run every Gibbs iteration — XLA
+    # does not hoist Cholesky custom calls out of while bodies).
+    whiteners = target_whiteners(m0, P0, Rs, sigma_x, dt)
+
     def kernel(key, state, delta):
         key_traj, key_theta = jax.random.split(key)
         _, kalman_kernel = get_kalman_kernel(
-            ys, Hs, Rs, cs, m0, P0, state.theta, sigma_x, dt, parallel
+            ys, Hs, Rs, cs, m0, P0, state.theta, sigma_x, dt, parallel,
+            whiteners=whiteners,
         )
         kalman_state = kalman_kernel(key_traj, state.kalman_state, delta)
         mean, chol = theta_posterior_mean_and_chol(kalman_state.x, sigma_theta, dt, sigma_x)
