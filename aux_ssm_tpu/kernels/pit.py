@@ -371,7 +371,9 @@ def _sharded_block_masses(score_mesh, score_axis, rf, cf, cb, use_pallas):
             f"(N={cf.shape[1]}, S={S})")
 
     def body(rf_full, cf_loc, cb_loc):
-        Lb_loc = fn(rf_full, cf_loc, cb_loc)        # (P, N, nb_local)
+        # per_block_max: each block's log-mass must depend only on that
+        # block's columns so the sharded pass matches any shard count.
+        Lb_loc = fn(rf_full, cf_loc, cb_loc, per_block_max=True)
         return jax.lax.all_gather(Lb_loc, score_axis, axis=2, tiled=True)
 
     # check_vma off: the all-gathered masses ARE replicated (identical block

@@ -36,6 +36,7 @@ node of a tree level (dc_map's vmap contract) without vmap-of-pallas_call.
 """
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -231,46 +232,58 @@ def _block_indicator(N, nb, dtype):
     return ((j >> 7) == b).astype(dtype)      # _COL_BLOCK == 128
 
 
-def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb):
+def _env_per_block_max():
+    """`AUX_SSM_BLOCK_MAX=block` forces the per-block stabiliser on the
+    unsharded paths (used by the particle-sharded bit-identity tests);
+    default 'row' keeps the cheaper row max on one chip."""
+    return os.environ.get("AUX_SSM_BLOCK_MAX", "row") == "block"
+
+
+def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb,
+                         per_block_max):
     """Lb[i, b] = log sum_{j in col-block b} exp(rf_i . cf_j + cb_j) for one
     128-row block. The block reduction is an MXU matmul of the exponentials
     with a static (N, nb) indicator.
 
-    The logsumexp stabiliser is the PER-BLOCK max (a (nb,)-lane max matrix
-    composed back to the N lanes), NOT the row max: the block mass then
+    Stabiliser: the row max by default (cheapest — one reduction). With
+    `per_block_max`, the PER-BLOCK max instead: each block's mass then
     depends only on that block's columns bit-for-bit, which is what makes
-    the column-sharded stitching identical to the single-chip pass (and is
-    the tighter stabiliser anyway)."""
+    the column-sharded stitching identical across shard counts. The
+    per-block variant costs ~18% more on this pass (one extra indicator
+    matmul + nb slice maxes; measured 31.5 -> 37.1 ms at N=4096 P=128), so
+    it is opt-in for the sharded kernel rather than the default."""
     rf = rf_ref[0]          # (ROW_BLOCK, k)
     cfT = cfT_ref[0]        # (k, N)
     cb = cb_ref[0]          # (1, N)
     N = cfT.shape[1]
     s = _pair_scores(rf, cfT, cb, _ROW_BLOCK, N, k)
-    # Per-block max stabiliser (each block's mass then depends only on that
-    # block's columns — the invariant the column-sharded stitching relies
-    # on, and the tighter stabiliser anyway). Collected with static slices,
-    # broadcast back to the lanes via the indicator matmul so the exp-mass
-    # reduction stays on the MXU. An all--inf block would give
-    # exp(-inf - -inf) = nan; the zero floor keeps the exact -inf mass.
-    maxes = [jnp.max(jax.lax.slice_in_dim(
-        s, b * _COL_BLOCK, (b + 1) * _COL_BLOCK, axis=1), axis=1,
-        keepdims=True) for b in range(nb)]
-    mb = maxes[0] if nb == 1 else jnp.concatenate(maxes, axis=1)   # (R, nb)
-    mb = jnp.where(jnp.isfinite(mb), mb, 0.0)
     B = _block_indicator(N, nb, s.dtype)
-    # Lane broadcast of the block maxes via the (exact 0/1) indicator matmul:
-    # measured 37 ms vs 41 (reshape-max) / 49 (broadcast-reshape or pure
-    # slice loop) for the N=4096 P=128 level; the row-max original was 31.5,
-    # the +18% buys the column-shardable (and tighter) stabiliser.
-    mB = jax.lax.dot_general(mb, B, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (R, N)
-    e = jnp.exp(s - mB)
-    mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.log(mass) + mb
+    if per_block_max:
+        # Collected with static slices, lane-broadcast back via the (exact
+        # 0/1) indicator matmul. An all--inf block would give
+        # exp(-inf - -inf) = nan; the zero floor keeps the exact -inf mass.
+        maxes = [jnp.max(jax.lax.slice_in_dim(
+            s, b * _COL_BLOCK, (b + 1) * _COL_BLOCK, axis=1), axis=1,
+            keepdims=True) for b in range(nb)]
+        mb = maxes[0] if nb == 1 else jnp.concatenate(maxes, axis=1)
+        mb = jnp.where(jnp.isfinite(mb), mb, 0.0)                  # (R, nb)
+        mB = jax.lax.dot_general(mb, B, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        e = jnp.exp(s - mB)
+        mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        out_ref[0, 0] = jnp.log(mass) + mb
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        e = jnp.exp(s - m)
+        mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        out_ref[0, 0] = jnp.log(mass) + m
 
 
-def block_masses(row_feat, col_feat, col_bias, *, interpret=False):
+def block_masses(row_feat, col_feat, col_bias, *, per_block_max=None,
+                 interpret=False):
     """Per-row column-block log-masses of the factorised pairwise scores.
 
     row_feat (P, Nr, k); col_feat (P, Nc, k); col_bias (P, Nc) ->
@@ -282,10 +295,13 @@ def block_masses(row_feat, col_feat, col_bias, *, interpret=False):
     P, Nr, k = row_feat.shape
     Nc = col_feat.shape[1]
     assert Nc % _COL_BLOCK == 0, Nc
+    if per_block_max is None:
+        per_block_max = _env_per_block_max()
     nb = Nc // _COL_BLOCK
     rb_blocks = pl.cdiv(Nr, _ROW_BLOCK)
     out = pl.pallas_call(
-        functools.partial(_block_masses_kernel, k=k, nb=nb),
+        functools.partial(_block_masses_kernel, k=k, nb=nb,
+                          per_block_max=per_block_max),
         grid=(P, rb_blocks),
         in_specs=[
             pl.BlockSpec((1, _ROW_BLOCK, k), lambda p, r: (p, r, 0),
@@ -305,28 +321,38 @@ def block_masses(row_feat, col_feat, col_bias, *, interpret=False):
     return out.reshape(P, rb_blocks * _ROW_BLOCK, nb)[:, :Nr]
 
 
-def block_masses_xla(row_feat, col_feat, col_bias):
-    """Blocked XLA equivalent of `block_masses` (same indicator matmul)."""
+def block_masses_xla(row_feat, col_feat, col_bias, per_block_max=None):
+    """Blocked XLA equivalent of `block_masses` (same stabiliser choice:
+    row max by default, per-block max for the column-sharded stitching)."""
     P, Nr, k = row_feat.shape
     Nc = col_feat.shape[1]
     assert Nc % _COL_BLOCK == 0, Nc
+    if per_block_max is None:
+        per_block_max = _env_per_block_max()
     nb = Nc // _COL_BLOCK
     rbs = -(-Nr // _ROW_BLOCK)
     pad_r = rbs * _ROW_BLOCK - Nr
     if pad_r:
         row_feat = jnp.pad(row_feat, ((0, 0), (0, pad_r), (0, 0)))
     rf = row_feat.reshape(P, rbs, _ROW_BLOCK, k).transpose(1, 0, 2, 3)
+    B = _block_indicator(Nc, nb, row_feat.dtype)
 
     def one(rf_blk):
         s = jnp.einsum("pik,pjk->pij", rf_blk, col_feat) + col_bias[:, None, :]
-        # Per-block max stabiliser (matches the Pallas kernel bit-for-bit and
-        # makes each block's mass depend only on that block's columns — the
-        # invariant the column-sharded stitching relies on).
-        s4 = s.reshape(P, _ROW_BLOCK, nb, _COL_BLOCK)
-        m = jnp.max(s4, axis=-1, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)   # all--inf block -> -inf mass
-        mass = jnp.sum(jnp.exp(s4 - m), axis=-1)
-        return jnp.log(mass) + m[..., 0]         # (P, ROW_BLOCK, nb)
+        if per_block_max:
+            # Each block's mass depends only on that block's columns — the
+            # invariant the column-sharded stitching relies on.
+            s4 = s.reshape(P, _ROW_BLOCK, nb, _COL_BLOCK)
+            m = jnp.max(s4, axis=-1, keepdims=True)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)  # all--inf block -> -inf
+            mass = jnp.sum(jnp.exp(s4 - m), axis=-1)
+            return jnp.log(mass) + m[..., 0]     # (P, ROW_BLOCK, nb)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        e = jnp.exp(s - m)
+        mass = jax.lax.dot_general(e, B, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return jnp.log(mass) + m                 # (P, ROW_BLOCK, nb)
 
     out = jax.lax.map(one, rf)                   # (rbs, P, ROW_BLOCK, nb)
     return out.transpose(1, 0, 2, 3).reshape(P, rbs * _ROW_BLOCK, nb)[:, :Nr]

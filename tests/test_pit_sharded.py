@@ -104,13 +104,15 @@ def test_shape_validation():
 @pytest.mark.parametrize("S,N,T", [(4, 512, 8), (2, 256, 12)])
 def test_particle_sharded_matches_single_device(S, N, T, monkeypatch):
     """The column-sharded block-mass stitching must be bit-identical to the
-    single-device engine with blocked stitching (each 128-column block's
-    log-mass depends only on that block's columns; draws run replicated on
-    the all-gathered masses with the same counter stream)."""
+    single-device engine with blocked stitching under the per-block-max
+    stabiliser (each 128-column block's log-mass then depends only on that
+    block's columns; draws run replicated on the all-gathered masses with
+    the same counter stream)."""
     import jax.sharding as shd
     from aux_ssm_tpu.parallel.mesh import PARTICLES
 
     monkeypatch.setenv("AUX_SSM_STITCH", "blocked")
+    monkeypatch.setenv("AUX_SSM_BLOCK_MAX", "block")
     D = 1
     Mt, g0, Gt = _setup(T, D, N, FactorGt, seed=S)
     mesh = shd.Mesh(np.asarray(jax.devices()[:S]), (PARTICLES,))
