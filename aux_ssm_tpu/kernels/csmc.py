@@ -209,6 +209,63 @@ def _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, ancestor_Pt,
     return w_T, xs, log_ws, ancestors
 
 
+def _use_block_lane_forward(x_star, Mt, Gt, resample, constrain, ancestor_Pt,
+                            N=0):
+    """Block-lane fused sweep (`ops/pallas/csmc_fwd.block_lane_forward_scan`):
+    state-dependent proposals for small-d models exposing the (d, N)-block
+    callables `block_propagate` / `block_logw` (e.g. the SV guided proposal
+    in Q's eigenbasis). Dense resampling only; PGAS unsupported (the guided
+    family uses backward sampling)."""
+    import os
+    flag = os.environ.get("AUX_SSM_PALLAS", "auto")
+    force = os.environ.get("AUX_SSM_FUSED_CSMC", "auto")
+    if flag == "0" or force == "0" or constrain is not None:
+        return None
+    from ..ops.pallas.csmc_fwd import _DENSE_MAX_N
+    if x_star.shape[-1] <= 1 or N > _DENSE_MAX_N or ancestor_Pt is not None:
+        return None
+    if not (hasattr(Mt, "block_propagate") and hasattr(Gt, "block_logw")
+            and resample is resampling_mod.multinomial):
+        return None
+    if force == "xla":
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return None
+    return "pallas" if platform in ("tpu", "axon") else None
+
+
+def _block_lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N, on_tpu=True):
+    """Forward sweep with the model's (d, N)-block callables traced into one
+    Pallas launch; same key stream as the generic scan (eps transposed from
+    the generic (T-1, N, d) draw, so the consumed values are identical)."""
+    from ..ops.pallas import csmc_fwd
+
+    T, d = x_star.shape
+    key_init, key_res, key_prop, _key_anc = jax.random.split(key, 4)
+
+    x0 = M0.sample(key_init, N)
+    x0 = x0.at[0].set(x_star[0])
+    log_w0 = G0(x0)
+    w0 = normalize(log_w0)
+
+    res_u = jax.random.uniform(key_res, (T - 1, N), dtype=x0.dtype)
+    eps = jax.random.normal(key_prop, (T - 1,) + x0.shape, dtype=x0.dtype)
+
+    run = (csmc_fwd.block_lane_forward_scan if on_tpu
+           else csmc_fwd.block_lane_scan_xla)
+    xs_r, log_ws_r, ancestors = run(
+        Mt.block_propagate, Gt.block_logw, Mt.params, Gt.params,
+        getattr(Mt, "block_consts", {}), getattr(Gt, "block_consts", {}),
+        jnp.swapaxes(eps, 1, 2), res_u, x_star[1:], x0.T, w0)
+
+    xs = jnp.concatenate([x0[None], jnp.swapaxes(xs_r, 1, 2)], axis=0)
+    log_ws = jnp.concatenate([log_w0[None], log_ws_r], axis=0)
+    w_T = normalize(log_ws_r[-1])
+    return w_T, xs, log_ws, ancestors
+
+
 def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
                  ancestor_Pt=None, unroll=4):
     """Conditional SMC forward sweep; particle 0 is pinned to `x_star`.
@@ -249,6 +306,11 @@ def forward_pass(key, x_star, M0, G0, Mt, Gt, N, resample, constrain=None,
             return _lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N,
                                       ancestor_Pt,
                                       on_tpu=lane_mode == "pallas")
+        block_mode = _use_block_lane_forward(x_star, Mt, Gt, resample,
+                                             constrain, ancestor_Pt, N)
+        if block_mode:
+            return _block_lane_forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                            on_tpu=block_mode == "pallas")
 
     if constrain is None:
         constrain = lambda z: z

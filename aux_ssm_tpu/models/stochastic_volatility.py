@@ -276,7 +276,9 @@ def make_guided_factory(ys, nu, phi, tau, rho, gradient=False):
     lamQ, VQ = jnp.linalg.eigh(Q)
     lam0, V0 = jnp.linalg.eigh(P0)
     inv_sqrt_lamQ = 1.0 / jnp.sqrt(lamQ)
-    half_logdet_Q = 0.5 * jnp.sum(jnp.log(lamQ))
+    # Python float on purpose: scalar constants may enter Pallas kernels as
+    # literals, while captured ARRAY constants are rejected.
+    half_logdet_Q = float(0.5 * jnp.sum(jnp.log(lamQ)))
     _HALF_D_LOG2PI = 0.5 * d * math.log(2.0 * math.pi)
 
     def shift(u, scale, y):
@@ -345,6 +347,19 @@ def make_guided_factory(ys, nu, phi, tau, rho, gradient=False):
     FR = F.T @ VQ
     bR = b @ VQ
 
+    # Column-layout constants for the fused (d, N)-block lane sweep
+    # (`ops/pallas/csmc_fwd.block_lane_forward_scan`): state as (d, N).
+    FRT = FR.T
+    VQT = VQ.T
+    bR_col = bR[:, None]
+    isl_col = inv_sqrt_lamQ[:, None]
+
+    def _mm(A, X):
+        # Exact-f32 (d, d) @ (d, N) — traced into the Mosaic kernel.
+        return jax.lax.dot_general(A, X, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
     @chex.dataclass
     class GuidedMt(Dynamics):
         def sample(self, key, x_t, params):
@@ -355,6 +370,16 @@ def make_guided_factory(ys, nu, phi, tau, rho, gradient=False):
             zp = x_t @ FR + bR
             zn = zp + g * (rotS[None] - zp) + sqrtL * eps
             return _unrot(zn, VQ)
+
+        def block_propagate(self, eps, x_prev, params, consts):
+            """(d, N)-block form of sample_from_noise for the fused lane
+            sweep; params arrive as (L, N) lane-broadcast blocks, constants
+            through the `consts` pytree (Pallas kernels may not capture
+            array constants)."""
+            _u, _scale, _y, rotS, g, sqrtL, _inv, _hld = params
+            zp = _mm(consts["FRT"], x_prev) + consts["bR"]
+            zn = zp + g * (rotS - zp) + sqrtL * eps
+            return _mm(consts["VQ"], zn)
 
     @chex.dataclass
     class GuidedGt(Potential):
@@ -370,6 +395,30 @@ def make_guided_factory(ys, nu, phi, tau, rho, gradient=False):
             wl = (zn - zmu) * inv_sqrtL
             out -= -0.5 * jnp.sum(wl * wl, -1) - hld - _HALF_D_LOG2PI
             return out
+
+        def block_logw(self, x_next, x_prev, params, consts):
+            """(d, N)-block form of __call__ for the fused lane sweep;
+            returns a (1, N) log-weight row."""
+            u, scale, y, rotS, g, _sqrtL, inv_sqrtL, hld = params
+            zp = _mm(consts["FRT"], x_prev) + consts["bR"]
+            zn = _mm(consts["VQT"], x_next)
+            zmu = zp + g * (rotS - zp)
+            obs = jnp.sum(jnp.nan_to_num(
+                norm.logpdf(y, 0.0, jnp.exp(0.5 * x_next))),
+                axis=0, keepdims=True)
+            wq = (zn - zp) * consts["isl"]
+            out = obs - 0.5 * jnp.sum(wq * wq, axis=0, keepdims=True) \
+                - half_logdet_Q - _HALF_D_LOG2PI
+            out += jnp.sum(norm.logpdf(x_next, u, scale), axis=0,
+                           keepdims=True)
+            wl = (zn - zmu) * inv_sqrtL
+            out -= -0.5 * jnp.sum(wl * wl, axis=0, keepdims=True) \
+                - hld - _HALF_D_LOG2PI
+            return out
+
+    GuidedMt.block_consts = {"FRT": FRT, "VQ": VQ, "bR": bR_col}
+    GuidedGt.block_consts = {"FRT": FRT, "VQT": VQT, "bR": bR_col,
+                             "isl": isl_col}
 
     def factory(u, scale):
         g, sqrtL, inv_sqrtL, hld = _eigen_factors(lamQ, scale[1:, None])

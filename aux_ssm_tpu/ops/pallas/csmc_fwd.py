@@ -732,3 +732,260 @@ def lane_scan_xla(propagate, logw, pgas_logpdf, mt_params, gt_params,
         body, (x0[None], w0[None]),
         (row(eps), row(res_u), ua, xstar, rows_in))
     return xs, log_ws, anc
+
+
+# --------------------------------------------------------------------------
+# Block-lane forward sweep (state-dependent proposals, small d > 1)
+# --------------------------------------------------------------------------
+#
+# Generalisation of the lane sweep to d-dimensional states: particles ride
+# a (d, N) block (d on the sublanes, particles on the lanes) and the model's
+# `block_propagate(eps, x_prev, mt_p)` / `block_logw(x_next, x_prev, gt_p)`
+# callables — (d, N) blocks in, (d, N) / (1, N) out — are traced into the
+# kernel. The intended model algebra is a couple of (d, d) @ (d, N)
+# dot_generals plus elementwise work (e.g. the SV guided proposal in Q's
+# eigenbasis); d is expected small (<= 32 sublanes after padding).
+#
+# Per-step params arrive as (T-1, L, N) lane-broadcast blocks (L = the
+# leaf's per-step length: d for vectors, 1 for scalars). Resampling /
+# pinning reuse the scalar sweep's machinery: the ancestor draw is a (1, N)
+# computation on the weights, and the particle gather is the dense one-hot
+# (d, N) x (N, N) matmul (the chunked gather already takes (m, N) stacks).
+
+def _flatten_params_block(params, Tm1, N):
+    leaves, treedef = jax.tree.flatten(params)
+    arrays, mask, lens = [], [], []
+    for z in leaves:
+        if z.size == 0:
+            mask.append(False)
+            lens.append(0)
+            continue
+        mask.append(True)
+        flat = z.reshape(Tm1, -1)
+        lens.append(flat.shape[1])
+        arrays.append(jnp.broadcast_to(flat[..., None],
+                                       (Tm1, flat.shape[1], N))
+                      .astype(jnp.float32))
+    return arrays, (treedef, mask, lens)
+
+
+def _unflatten_params_block(blocks, spec):
+    treedef, mask, _ = spec
+    it = iter(blocks)
+    leaves = [next(it) if m else jnp.zeros(()) for m in mask]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _flatten_consts(consts):
+    """Model constants (matrices/vectors/scalars) as 2-D f32 kernel inputs —
+    Pallas kernels may not capture array constants from closures."""
+    leaves, treedef = jax.tree.flatten(consts)
+    arrays, shapes = [], []
+    for z in leaves:
+        z = jnp.asarray(z, jnp.float32)
+        shapes.append(z.shape)
+        arrays.append(z.reshape((z.shape[0] if z.ndim else 1, -1)))
+    return arrays, (treedef, shapes)
+
+
+def _unflatten_consts(blocks, spec):
+    treedef, shapes = spec
+    leaves = [b.reshape(s) for b, s in zip(blocks, shapes)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _block_lane_fwd_kernel(*refs, propagate, logw, spec_m, spec_g, spec_cm,
+                           spec_cg, n_m, n_g, n_cm, n_cg, d, N):
+    (eps_ref, u_ref, xstar_ref, x0_ref, w0_ref) = refs[:5]
+    n_par = n_m + n_g
+    pr = refs[5:5 + n_par]
+    cr = refs[5 + n_par:5 + n_par + n_cm + n_cg]
+    logw_ref, anc_ref, xs_ref = refs[5 + n_par + n_cm + n_cg:
+                                     8 + n_par + n_cm + n_cg]
+    x_scr, w_scr = refs[8 + n_par + n_cm + n_cg:]
+
+    t = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+        w_scr[:] = w0_ref[:]
+
+    x_prev = x_scr[:]                   # (d, N)
+    w = w_scr[:]                        # (1, N)
+    u = u_ref[0]                        # (1, N)
+    eps = eps_ref[0]                    # (d, N)
+    x_star = xstar_ref[0]               # (d, N) (lane-broadcast)
+
+    mt_p = _unflatten_params_block([r[0] for r in pr[:n_m]], spec_m)
+    gt_p = _unflatten_params_block([r[0] for r in pr[n_m:]], spec_g)
+    mt_c = _unflatten_consts([r[...] for r in cr[:n_cm]], spec_cm)
+    gt_c = _unflatten_consts([r[...] for r in cr[n_cm:]], spec_cg)
+
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (d, N), 1)
+
+    # Conditional multinomial on the (1, N) weight row (dense inverse-CDF
+    # rank count, as in the scalar sweep).
+    io0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    io1 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    LT = (io0 <= io1).astype(f32)
+    cw = jax.lax.dot_general(w, LT, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
+    cw_col = _col_from_row(cw, N)
+    lt_mask = (jnp.broadcast_to(cw_col, (N, N))
+               < jnp.broadcast_to(u, (N, N))).astype(f32)
+    anc = jax.lax.dot_general(jnp.ones((1, N), f32), lt_mask,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.HIGHEST)
+    anc = jnp.minimum(anc, f32(N - 1))
+    anc = jnp.where(lane_row == 0, f32(0.0), anc)
+
+    # Particle gather: one (d, N) x (N, N) one-hot matmul.
+    ancb = jnp.broadcast_to(anc, (N, N))
+    O = (io0.astype(f32) == ancb).astype(f32)
+    x_res = jax.lax.dot_general(x_prev, O, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    # Cast at the boundary: under x64 (CPU interpret tests) model closure
+    # constants promote the traced values to f64, while the refs are f32.
+    x_t = propagate(eps, x_res, mt_p, mt_c)
+    x_t = jnp.where(lane_blk == 0, x_star, x_t).astype(f32)
+    log_w = logw(x_t, x_res, gt_p, gt_c).astype(f32)      # (1, N)
+
+    logw_ref[0] = log_w
+    anc_ref[0] = anc
+    xs_ref[0] = x_t
+
+    mW = jnp.max(log_w, axis=1, keepdims=True)
+    wn = jnp.exp(log_w - mW)
+    w_scr[:] = wn / jnp.sum(wn, axis=1, keepdims=True)
+    x_scr[:] = x_t
+
+
+def block_lane_forward_scan(propagate, logw, mt_params, gt_params, mt_consts,
+                            gt_consts, eps, res_u, x_star, x0, w0,
+                            interpret=False):
+    """cSMC forward sweep with in-kernel (d, N)-block model callables.
+
+    propagate(eps, x_prev, mt_p, mt_c) -> (d, N);
+    logw(x_next, x_prev, gt_p, gt_c) -> (1, N); param leaves arrive as
+    (L, N) lane-broadcast blocks, model constants (`*_consts` pytrees of
+    matrices/vectors) as 2-D f32 blocks (Pallas kernels may not capture
+    array constants).
+    eps : (T-1, d, N); res_u : (T-1, N); x_star : (T-1, d);
+    x0 : (d, N); w0 : (N,).
+    Returns (xs (T-1, d, N), log_ws (T-1, N), ancestors (T-1, N) int32).
+    Dense resampling only (N <= _DENSE_MAX_N); no PGAS (the guided family
+    uses backward sampling).
+    """
+    Tm1, d, N = eps.shape
+    f32 = jnp.float32
+    assert N <= _DENSE_MAX_N, N
+
+    seg = max(1, _LANE_SEG_ELEMS // (N * d))
+    if Tm1 > seg:
+        outs, start = [], 0
+        x_c, w_c = x0, w0
+        while start < Tm1:
+            stop = min(start + seg, Tm1)
+            sl = lambda z: z[start:stop]
+            o = block_lane_forward_scan(
+                propagate, logw, jax.tree.map(sl, mt_params),
+                jax.tree.map(sl, gt_params), mt_consts, gt_consts,
+                sl(eps), sl(res_u), sl(x_star), x_c, w_c,
+                interpret=interpret)
+            outs.append(o)
+            x_c = o[0][-1]
+            lw_last = o[1][-1]
+            wn = jnp.exp(lw_last - jnp.max(lw_last))
+            w_c = wn / jnp.sum(wn)
+            start = stop
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
+
+    m_arr, spec_m = _flatten_params_block(mt_params, Tm1, N)
+    g_arr, spec_g = _flatten_params_block(gt_params, Tm1, N)
+    cm_arr, spec_cm = _flatten_consts(mt_consts)
+    cg_arr, spec_cg = _flatten_consts(gt_consts)
+
+    xstar = jnp.broadcast_to(x_star[..., None], (Tm1, d, N)).astype(f32)
+
+    blk_spec = lambda L: pl.BlockSpec((1, L, N), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    row_spec = blk_spec(1)
+    init_blk = pl.BlockSpec((d, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    init_row = pl.BlockSpec((1, N), lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    n_m, n_g = len(m_arr), len(g_arr)
+    const_spec = lambda z: pl.BlockSpec(z.shape, lambda t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _block_lane_fwd_kernel, propagate=propagate, logw=logw,
+        spec_m=spec_m, spec_g=spec_g, spec_cm=spec_cm, spec_cg=spec_cg,
+        n_m=n_m, n_g=n_g, n_cm=len(cm_arr), n_cg=len(cg_arr), d=d, N=N)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Tm1,),
+        in_specs=[blk_spec(d), row_spec, blk_spec(d), init_blk, init_row]
+                 + [blk_spec(z.shape[1]) for z in m_arr]
+                 + [blk_spec(z.shape[1]) for z in g_arr]
+                 + [const_spec(z) for z in cm_arr]
+                 + [const_spec(z) for z in cg_arr],
+        out_specs=(row_spec, row_spec, blk_spec(d)),
+        out_shape=(jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+                   jax.ShapeDtypeStruct((Tm1, 1, N), f32),
+                   jax.ShapeDtypeStruct((Tm1, d, N), f32)),
+        scratch_shapes=[pltpu.VMEM((d, N), f32), pltpu.VMEM((1, N), f32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(eps.astype(f32), res_u[:, None, :].astype(f32), xstar,
+      x0.astype(f32), w0[None].astype(f32), *m_arr, *g_arr,
+      *cm_arr, *cg_arr)
+    log_ws, anc, xs_out = outs
+    return (xs_out, log_ws[:, 0], anc[:, 0].astype(jnp.int32))
+
+
+def block_lane_scan_xla(propagate, logw, mt_params, gt_params, mt_consts,
+                        gt_consts, eps, res_u, x_star, x0, w0):
+    """XLA reference/fallback of `block_lane_forward_scan` (same algebra,
+    same (d, N) block calling convention, same f32 const casting)."""
+    Tm1, d, N = eps.shape
+    m_arr, spec_m = _flatten_params_block(mt_params, Tm1, N)
+    g_arr, spec_g = _flatten_params_block(gt_params, Tm1, N)
+    cm_arr, spec_cm = _flatten_consts(mt_consts)
+    cg_arr, spec_cg = _flatten_consts(gt_consts)
+    mt_c = _unflatten_consts(cm_arr, spec_cm)
+    gt_c = _unflatten_consts(cg_arr, spec_cg)
+
+    def body(carry, inp):
+        x_prev, w = carry
+        eps_t, u_t, xst, blocks = inp
+        mt_p = _unflatten_params_block(list(blocks[:len(m_arr)]), spec_m)
+        gt_p = _unflatten_params_block(list(blocks[len(m_arr):]), spec_g)
+
+        cw = jnp.cumsum(w)
+        anc = jnp.clip(jnp.searchsorted(cw, u_t), 0, N - 1).astype(jnp.int32)
+        anc = anc.at[0].set(0)
+
+        x_res = x_prev[:, anc]
+        x_t = propagate(eps_t, x_res, mt_p, mt_c)
+        x_t = jnp.where(jnp.arange(N)[None, :] == 0, xst,
+                        x_t).astype(jnp.float32)
+        log_w = logw(x_t, x_res, gt_p, gt_c)[0].astype(jnp.float32)
+        wn = jnp.exp(log_w - jnp.max(log_w))
+        wn = wn / jnp.sum(wn)
+        return (x_t, wn), (x_t, log_w, anc)
+
+    f32 = jnp.float32
+    xstar = jnp.broadcast_to(x_star[..., None], (Tm1, d, N)).astype(f32)
+    blocks_in = tuple(m_arr) + tuple(g_arr)
+    (_, _), (xs, log_ws, anc) = jax.lax.scan(
+        body, (x0.astype(f32), (w0 / jnp.sum(w0)).astype(f32)),
+        (eps.astype(f32), res_u.astype(f32), xstar, blocks_in))
+    return xs, log_ws, anc

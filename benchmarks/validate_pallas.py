@@ -280,6 +280,32 @@ def main(sections=None):
             check(f"csmc_fwd.lane.{tag}.xs", np.asarray(xs_p)[m],
                   np.asarray(xs_x)[m], atol=1e-4, rtol=1e-4)
 
+        # Block-lane sweep (d > 1 state-dependent proposals: SV guided in
+        # Q's eigenbasis).
+        from aux_ssm_tpu.models import stochastic_volatility as sv
+        Tb, Db, Nb = 24, 30, 32
+        _, ysb = sv.get_data(jax.random.key(3), 0.0, 0.9, 2.0, 0.25, Db, Tb)
+        factory_b, _ = sv.make_guided_factory(ysb, 0.0, 0.9, 2.0, 0.25)
+        ub = jnp.asarray(rng.standard_normal((Tb, Db)), f32)
+        scb = jnp.asarray(rng.uniform(0.3, 0.6, size=Tb), f32)
+        _M0b, _G0b, Mtb, Gtb = factory_b(ub, scb)
+        epsb = jnp.asarray(rng.standard_normal((Tb - 1, Db, Nb)), f32)
+        res_ub = jnp.asarray(rng.uniform(size=(Tb - 1, Nb)), f32)
+        x_starb = jnp.asarray(rng.standard_normal((Tb - 1, Db)), f32)
+        x0b = jnp.asarray(rng.standard_normal((Db, Nb)), f32)
+        w0b = jnp.full((Nb,), 1.0 / Nb, f32)
+        argsb = (Mtb.block_propagate, Gtb.block_logw, Mtb.params, Gtb.params,
+                 Mtb.block_consts, Gtb.block_consts, epsb, res_ub, x_starb,
+                 x0b, w0b)
+        xs_p, lw_p, anc_p = CF.block_lane_forward_scan(*argsb)
+        xs_x, lw_x, anc_x = CF.block_lane_scan_xla(*argsb)
+        agree("csmc_fwd.block_lane.anc", anc_p, anc_x, min_frac=0.99)
+        mb_ = (np.asarray(anc_p) == np.asarray(anc_x)).all(axis=1)
+        check("csmc_fwd.block_lane.xs", np.asarray(xs_p)[mb_],
+              np.asarray(xs_x)[mb_], atol=1e-4, rtol=1e-4)
+        check("csmc_fwd.block_lane.logw", np.asarray(lw_p)[mb_],
+              np.asarray(lw_x)[mb_], atol=1e-3, rtol=1e-3)
+
         # Chunked large-N lane path (shift-add cumsum + 128-row rank
         # count/gather; engages past csmc.csmc._FUSED_MAX_N). The comparison
         # is RE-SYNCED per step: iterated resampling is chaotic, so a single

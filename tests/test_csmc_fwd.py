@@ -301,3 +301,93 @@ def test_lane_scan_segmented_matches_monolithic(pgas, monkeypatch):
     seg = CF.lane_forward_scan(*args, interpret=True)
     for a, b in zip(mono, seg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --------------------------------------------------------------------------
+# Block-lane sweep (d > 1 state-dependent proposals: SV guided eigenbasis)
+# --------------------------------------------------------------------------
+
+def _guided_setup(T, D, N, seed=0):
+    _, ys = sv.get_data(jax.random.key(seed), 0.0, 0.9, 2.0, 0.25, D, T)
+    factory, Pt = sv.make_guided_factory(ys, 0.0, 0.9, 2.0, 0.25)
+    rng = np.random.default_rng(seed + 1)
+    u = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.3, 0.6, size=T), jnp.float32)
+    M0, G0, Mt, Gt = factory(u, scale)
+    return M0, G0, Mt, Gt, Pt
+
+
+def test_block_lane_xla_matches_generic_forward():
+    """Guided SV (d = 3): block-lane (XLA twin) vs generic scan, same keys.
+    Resampling draws are identical; particle values agree to fp tolerance
+    (the block path computes the same algebra in (d, N) layout)."""
+    from aux_ssm_tpu.ops import resampling as resampling_mod
+    T, D, N = 16, 3, 16
+    M0, G0, Mt, Gt, _Pt = _guided_setup(T, D, N)
+    key = jax.random.key(9)
+    x_star = jnp.asarray(np.linspace(-0.5, 0.5, T * D).reshape(T, D),
+                         jnp.float32)
+
+    gen = csmc_mod.forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                resampling_mod.multinomial)
+    os.environ["AUX_SSM_FUSED_CSMC"] = "xla"
+    try:
+        blk = csmc_mod.forward_pass(key, x_star, M0, G0, Mt, Gt, N,
+                                    resampling_mod.multinomial)
+    finally:
+        os.environ["AUX_SSM_FUSED_CSMC"] = "0"
+
+    w_T_g, xs_g, lw_g, anc_g = gen
+    w_T_b, xs_b, lw_b, anc_b = blk
+    agree = np.asarray(anc_g) == np.asarray(anc_b)
+    assert agree.mean() > 0.99, agree.mean()
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(xs_b), np.asarray(xs_g),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lw_b), np.asarray(lw_g),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_block_lane_pallas_interpret_matches_xla():
+    from aux_ssm_tpu.ops.pallas.csmc_fwd import (block_lane_forward_scan,
+                                                 block_lane_scan_xla)
+    T, D, N = 12, 3, 16
+    _M0, _G0, Mt, Gt, _Pt = _guided_setup(T, D, N, seed=4)
+    rng = np.random.default_rng(7)
+    eps = jnp.asarray(rng.standard_normal((T - 1, D, N)), jnp.float32)
+    res_u = jnp.asarray(rng.uniform(size=(T - 1, N)), jnp.float32)
+    x_star = jnp.asarray(rng.standard_normal((T - 1, D)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((D, N)), jnp.float32)
+    w0 = jnp.full((N,), 1.0 / N, jnp.float32)
+
+    args = (Mt.block_propagate, Gt.block_logw, Mt.params, Gt.params,
+            Mt.block_consts, Gt.block_consts, eps, res_u, x_star, x0, w0)
+    xs_p, lw_p, anc_p = block_lane_forward_scan(*args, interpret=True)
+    xs_x, lw_x, anc_x = block_lane_scan_xla(*args)
+    agree = np.asarray(anc_p) == np.asarray(anc_x)
+    assert agree.mean() > 0.99, agree.mean()
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lw_p), np.asarray(lw_x),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_block_lane_segmented_matches_monolithic(monkeypatch):
+    from aux_ssm_tpu.ops.pallas import csmc_fwd as cf
+    T, D, N = 20, 3, 16
+    _M0, _G0, Mt, Gt, _Pt = _guided_setup(T, D, N, seed=6)
+    rng = np.random.default_rng(8)
+    eps = jnp.asarray(rng.standard_normal((T - 1, D, N)), jnp.float32)
+    res_u = jnp.asarray(rng.uniform(size=(T - 1, N)), jnp.float32)
+    x_star = jnp.asarray(rng.standard_normal((T - 1, D)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((D, N)), jnp.float32)
+    w0 = jnp.full((N,), 1.0 / N, jnp.float32)
+
+    args = (Mt.block_propagate, Gt.block_logw, Mt.params, Gt.params,
+            Mt.block_consts, Gt.block_consts, eps, res_u, x_star, x0, w0)
+    mono = cf.block_lane_forward_scan(*args, interpret=True)
+    monkeypatch.setattr(cf, "_LANE_SEG_ELEMS", 7 * D * N)
+    seg = cf.block_lane_forward_scan(*args, interpret=True)
+    for m, s in zip(mono, seg):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
