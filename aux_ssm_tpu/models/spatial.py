@@ -251,6 +251,33 @@ def get_guided_csmc_kernel(ys, sigma_x, nu, tau, r_y, d, n_particles,
             out -= jnp.sum(norm.logpdf(x, mu, lam), -1)
             return out
 
+    # (B, N)-block forms for the fused lane sweep: everything elementwise
+    # except the t-potential quad form, applied via the DENSE precision (a
+    # (B, B) matmul — the conv-stencil apply is not kernel-expressible).
+    prec_dense = jnp.asarray(make_precision_dense(tau, r_y, d), jnp.float32)
+
+    def _block_moments(x_prev, u, scale, y, P):
+        K = sigma_x ** 2 / (sigma_x ** 2 + scale ** 2)        # (1, N)
+        lam = jnp.sqrt(sigma_x ** 2 * (1.0 - K))
+        if gradient:
+            # Analytic d/dx of the unnormalised t logpdf at x_prev:
+            # (nu + B) P (y - x) / (nu + (y-x)^T P (y-x)).
+            diff = y - x_prev
+            Pv = jax.lax.dot_general(P, diff, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+            q = jnp.sum(diff * Pv, axis=0, keepdims=True)
+            u = u + scale ** 2 * (nu + B) * Pv / (nu + q)
+        return x_prev + K * (u - x_prev), lam
+
+    def _block_tpot(x, y, P):
+        diff = y - x
+        Pv = jax.lax.dot_general(P, diff, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        q = jnp.sum(diff * Pv, axis=0, keepdims=True)
+        return jnp.nan_to_num(-0.5 * (nu + B) * jnp.log1p(q / nu))
+
     @chex.dataclass
     class GuidedMt(Dynamics):
         def sample(self, key, x_t, params):
@@ -259,6 +286,11 @@ def get_guided_csmc_kernel(ys, sigma_x, nu, tau, r_y, d, n_particles,
         def sample_from_noise(self, eps, x_t, params):
             u, scale, y = params
             mu, lam = moments(x_t, u, scale, y)  # broadcasts (N,B) vs (B,)
+            return mu + lam * eps
+
+        def block_propagate(self, eps, x_prev, params, consts):
+            u, scale, y = params
+            mu, lam = _block_moments(x_prev, u, scale, y, consts["P"])
             return mu + lam * eps
 
     @chex.dataclass
@@ -271,6 +303,21 @@ def get_guided_csmc_kernel(ys, sigma_x, nu, tau, r_y, d, n_particles,
             out += jnp.sum(norm.logpdf(x_next, u, scale), -1)
             out -= jnp.sum(norm.logpdf(x_next, mu, lam), -1)
             return out
+
+        def block_logw(self, x_next, x_prev, params, consts):
+            u, scale, y = params
+            mu, lam = _block_moments(x_prev, u, scale, y, consts["P"])
+            out = _block_tpot(x_next, y, consts["P"])
+            out += jnp.sum(norm.logpdf(x_next, x_prev, sigma_x), axis=0,
+                           keepdims=True)
+            out += jnp.sum(norm.logpdf(x_next, u, scale), axis=0,
+                           keepdims=True)
+            out -= jnp.sum(norm.logpdf(x_next, mu, lam), axis=0,
+                           keepdims=True)
+            return out
+
+    GuidedMt.block_consts = {"P": prec_dense}
+    GuidedGt.block_consts = {"P": prec_dense}
 
     def factory(u, scale):
         return (

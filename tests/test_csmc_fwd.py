@@ -391,3 +391,44 @@ def test_block_lane_segmented_matches_monolithic(monkeypatch):
     seg = cf.block_lane_forward_scan(*args, interpret=True)
     for m, s in zip(mono, seg):
         np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
+
+
+@pytest.mark.parametrize("gradient", [False, True])
+def test_block_lane_spatial_guided_matches_generic(gradient):
+    """Spatial guided (B = 16 grid components): the block path's dense-
+    precision quad form / analytic gradient shift must agree with the
+    generic path's conv-stencil + jax.grad construction."""
+    from aux_ssm_tpu.models import spatial as sp
+    from aux_ssm_tpu.ops import resampling as resampling_mod
+    import aux_ssm_tpu.kernels.csmc as cm
+
+    D, T, N = 4, 12, 16
+    rng = np.random.default_rng(0)
+    _, ys_np = sp.get_data(rng, 0.3, 1.0, -0.25, 4.0, D, T)
+    ys = jnp.asarray(ys_np, jnp.float32)
+
+    # Reach the factory through the kernel builder's closure: rebuild with a
+    # recording csmc_aux? Simplest: drive one kernel step in both modes.
+    init, kernel = sp.get_guided_csmc_kernel(ys, 0.3, 4.0, -0.25, 1.0, D, N,
+                                             backward=False,
+                                             gradient=gradient)
+    x0 = jnp.zeros((T, D * D), jnp.float32)
+    key = jax.random.key(3)
+    delta = jnp.full((T,), 0.1, jnp.float32)
+
+    os.environ["AUX_SSM_FUSED_CSMC"] = "0"
+    try:
+        out_gen = jax.jit(kernel)(key, init(x0), delta)
+    finally:
+        os.environ.pop("AUX_SSM_FUSED_CSMC", None)
+    os.environ["AUX_SSM_FUSED_CSMC"] = "xla"
+    try:
+        out_blk = jax.jit(kernel)(key, init(x0), delta)
+    finally:
+        os.environ.pop("AUX_SSM_FUSED_CSMC", None)
+
+    agree = np.asarray(out_gen.updated) == np.asarray(out_blk.updated)
+    assert agree.mean() > 0.9, agree.mean()
+    match = np.isclose(np.asarray(out_gen.x), np.asarray(out_blk.x),
+                       rtol=1e-4, atol=1e-4).mean()
+    assert match > 0.9, match
