@@ -85,6 +85,88 @@ def run_config(args, **overrides):
     return RunConfig(**kw)
 
 
+def run_maybe_sharded(run_key, kernel, state, cfg, args, *,
+                      collect_samples=False, delta_init=None):
+    """Single- or multi-chain dispatch shared by the experiment drivers.
+
+    `--n-chains 1` (default): plain `run_chain`, `diag` is None.
+    `--n-chains K > 1`: the initial state and delta are broadcast to a
+    leading chain axis and run through `parallel.chains.run_sharded_chains`
+    — one program, per-chain fold_in keys, optionally sharded over a
+    `--mesh-chains` device mesh (the reference pattern being scaled up:
+    `examples/rare_event/experiment.py:189-196`). Returns (res, diag) where
+    `diag` carries cross-chain aggregated stats and a split-R-hat summary:
+    rank-normalized split-R-hat over sample coordinates when samples were
+    collected, else the moment-based classical R-hat from the online stats.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from .runner import run_chain
+
+    n_chains = getattr(args, "n_chains", 1)
+    ckpt_dir = getattr(args, "checkpoint_dir", None)
+    ckpt_every = getattr(args, "checkpoint_every", 0)
+    if n_chains <= 1:
+        res = run_chain(run_key, kernel, state, cfg,
+                        collect_samples=collect_samples, delta_init=delta_init,
+                        checkpoint_dir=ckpt_dir, checkpoint_every=ckpt_every)
+        return res, None
+
+    from ..parallel.chains import run_sharded_chains, aggregate_chain_stats
+    from ..utils.ess import potential_scale_reduction, rhat_from_moments
+    from ..utils.stats import variance
+
+    bc = lambda z: jnp.broadcast_to(jnp.asarray(z),
+                                    (n_chains,) + jnp.shape(jnp.asarray(z)))
+    states = jax.tree.map(bc, state)
+    delta0 = bc(cfg.delta_init if delta_init is None else delta_init)
+
+    mesh_n = getattr(args, "mesh_chains", 0)
+    mesh = None
+    if mesh_n:
+        if n_chains % mesh_n:
+            raise ValueError(f"--mesh-chains {mesh_n} does not divide "
+                             f"--n-chains {n_chains}")
+        from ..parallel.mesh import make_mesh, CHAINS
+        mesh = make_mesh(devices=jax.devices()[:mesh_n], axis_names=(CHAINS,))
+
+    res = run_sharded_chains(run_key, kernel, states, cfg, mesh=mesh,
+                             collect_samples=collect_samples,
+                             delta_init=delta0, checkpoint_dir=ckpt_dir,
+                             checkpoint_every=ckpt_every)
+    agg = aggregate_chain_stats(res.stats)
+
+    if collect_samples and res.samples is not None and res.samples.size:
+        # (n_chains, n, *coords) -> split-R-hat per coordinate on a spread of
+        # up to 128 coordinates (full rank-normalization on every coordinate
+        # of a long trajectory is post-processing overkill).
+        s = np.asarray(res.samples)
+        flat = s.reshape(s.shape[0], s.shape[1], -1)
+        n_coords = flat.shape[-1]
+        take = np.unique(np.linspace(0, n_coords - 1,
+                                     min(128, n_coords)).astype(int))
+        rhats = jax.vmap(potential_scale_reduction, in_axes=2)(
+            jnp.asarray(flat[:, :, take]))
+    else:
+        rhats = rhat_from_moments(res.stats.mean_x, variance(res.stats),
+                                  cfg.n_samples).ravel()
+    diag = dict(stats=agg, rhat_max=float(jnp.max(rhats)),
+                rhat_median=float(jnp.median(rhats)), n_chains=n_chains)
+    return res, diag
+
+
+def chain_summary(res, diag, cfg):
+    """One-line throughput/health suffix shared by the drivers: total
+    samples/s across chains plus the split-R-hat summary for sharded runs."""
+    if diag is None:
+        return ""
+    total = diag["n_chains"] * cfg.n_samples
+    return (f", {diag['n_chains']} chains ({total / res.sampling_time:.1f} "
+            f"samples/s total), Rhat max={diag['rhat_max']:.3f} "
+            f"median={diag['rhat_median']:.3f}")
+
+
 def save_results(path, **arrays):
     if path:
         import numpy as np

@@ -24,7 +24,6 @@ import numpy as np
 
 from ..models import lorenz
 from . import cli
-from .runner import run_chain
 
 THETA_TRUE = jnp.array([10.0, 28.0, 8.0 / 3.0])
 SIGMA_X, SIG_Y = 3.0, 0.5
@@ -89,17 +88,20 @@ def main(argv=None):
     state = init(x0, theta0)
 
     cfg = cli.run_config(args)
-    res = run_chain(jax.random.key(args.seed + 1), kernel, state, cfg,
-                    collect_samples=False)
+    res, diag = cli.run_maybe_sharded(jax.random.key(args.seed + 1), kernel,
+                                      state, cfg, args, collect_samples=False)
+    stats = diag["stats"] if diag else res.stats
 
     theta = np.asarray(res.state.theta)
+    theta_show = theta.mean(0) if diag else theta
     print(f"freq={args.freq} n_steps={n_steps} dt={dt:g}: "
           f"time={res.sampling_time:.2f}s "
           f"({cfg.n_samples / res.sampling_time:.1f} samples/s), "
-          f"acc={float(jnp.mean(res.stats.accept_cum)):.3f}, "
-          f"theta_final={np.round(theta, 3)} (true {np.asarray(THETA_TRUE)})")
+          f"acc={float(jnp.mean(stats.accept_cum)):.3f}, "
+          f"theta_final={np.round(theta_show, 3)} (true {np.asarray(THETA_TRUE)})"
+          f"{cli.chain_summary(res, diag, cfg)}")
 
-    cli.save_results(args.out, mean_x=res.stats.mean_x, ejsd=res.stats.ejsd,
+    cli.save_results(args.out, mean_x=stats.mean_x, ejsd=stats.ejsd,
                      theta=theta, delta=res.delta, sampling_time=res.sampling_time)
     return res
 

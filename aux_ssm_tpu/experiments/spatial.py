@@ -11,7 +11,6 @@ from ..models import spatial as sp
 from ..native.precision import precision_stencil
 from ..utils.ess import effective_sample_size
 from . import cli
-from .runner import run_chain
 
 SIGMA_X, TAU, R_Y, NU = 0.3, -0.25, 1.0, 4.0
 
@@ -55,6 +54,9 @@ def main(argv=None):
         if is_csmc:
             raise SystemExit("--batch-sharded applies to the kalman styles "
                              "(batched (T, B, 1, 1) layout) only")
+        if getattr(args, "n_chains", 1) > 1:
+            raise SystemExit("--batch-sharded and --n-chains > 1 shard "
+                             "different axes over the same devices; pick one")
         from ..parallel.mesh import make_mesh, BATCH
         from ..parallel.batch import batch_sharded_kernel, shard_time_major
         bmesh = make_mesh(axis_names=(BATCH,))
@@ -64,17 +66,20 @@ def main(argv=None):
 
     delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)
     cfg = cli.run_config(args)
-    res = run_chain(jax.random.key(args.seed + 2), kernel, state, cfg,
-                    collect_samples=False, delta_init=delta0)
+    res, diag = cli.run_maybe_sharded(jax.random.key(args.seed + 2), kernel,
+                                      state, cfg, args, collect_samples=False,
+                                      delta_init=delta0)
+    stats = diag["stats"] if diag else res.stats
 
-    acc = float(jnp.mean(res.stats.accept_cum))
+    acc = float(jnp.mean(stats.accept_cum))
     print(f"style={args.style} T={args.T} D={args.D} (d={args.D ** 2}): "
           f"time={res.sampling_time:.2f}s "
           f"({cfg.n_samples / res.sampling_time:.1f} samples/s), acc={acc:.3f}, "
-          f"mean EJSD={float(jnp.mean(res.stats.ejsd)):.4g}")
+          f"mean EJSD={float(jnp.mean(stats.ejsd)):.4g}"
+          f"{cli.chain_summary(res, diag, cfg)}")
 
-    cli.save_results(args.out, mean_x=res.stats.mean_x, var_x=res.stats.mean_x2
-                     - res.stats.mean_x ** 2, ejsd=res.stats.ejsd,
+    cli.save_results(args.out, mean_x=stats.mean_x, var_x=stats.mean_x2
+                     - stats.mean_x ** 2, ejsd=stats.ejsd,
                      delta=res.delta, xs_true=xs_true, ys=ys_np,
                      sampling_time=res.sampling_time)
     return res

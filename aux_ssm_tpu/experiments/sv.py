@@ -3,6 +3,7 @@
 T=250, D=30, N=25, 10k/2.5k, target alpha 0.5).
 
     python -m aux_ssm_tpu.experiments.sv --style kalman-2 --T 250 --D 30
+    python -m aux_ssm_tpu.experiments.sv --n-chains 8 --mesh-chains 8
 """
 import jax
 import jax.numpy as jnp
@@ -11,7 +12,6 @@ import numpy as np
 from ..models import stochastic_volatility as sv
 from ..utils.analysis import ejsd_per_time, ess_summary
 from . import cli
-from .runner import run_chain
 
 NU, PHI, TAU, RHO = 0.0, 0.9, 2.0, 0.25
 
@@ -50,25 +50,28 @@ def main(argv=None):
     is_csmc = args.style.startswith("csmc")
     delta0 = args.delta_init * (jnp.ones(args.T) if is_csmc else 1.0)
     cfg = cfg_x.run
-    res = run_chain(run_key, kernel, state, cfg, collect_samples=True,
-                    delta_init=delta0,
-                    checkpoint_dir=cfg_x.checkpoint_dir,
-                    checkpoint_every=cfg_x.checkpoint_every)
+    res, diag = cli.run_maybe_sharded(run_key, kernel, state, cfg, args,
+                                      collect_samples=True, delta_init=delta0)
     samples = np.asarray(res.samples)
+    stats = diag["stats"] if diag else res.stats
+    # Multi-chain: ess_summary's coordinates pool (n_chains, n) stacks.
+    pooled = samples.reshape(-1, *samples.shape[-2:]) if diag else samples
 
-    ess = ess_summary(samples)
-    efficiency = ejsd_per_time(jnp.mean(res.stats.ejsd), res.sampling_time,
+    ess = ess_summary(pooled)
+    efficiency = ejsd_per_time(jnp.mean(stats.ejsd), res.sampling_time,
                                cfg.n_samples)
     print(f"style={args.style} T={args.T} D={args.D}: "
           f"time={res.sampling_time:.2f}s "
           f"({cfg.n_samples / res.sampling_time:.1f} samples/s), "
-          f"acc={float(jnp.mean(res.stats.accept_cum)):.3f}, "
-          f"mean EJSD={float(jnp.mean(res.stats.ejsd)):.4g}, "
+          f"acc={float(jnp.mean(stats.accept_cum)):.3f}, "
+          f"mean EJSD={float(jnp.mean(stats.ejsd)):.4g}, "
           f"EJSD/time-per-iter={float(efficiency):.4g}, "
-          f"ESS(quartiles)={[round(v, 1) for v in ess.values()]}")
+          f"ESS(quartiles)={[round(v, 1) for v in ess.values()]}"
+          f"{cli.chain_summary(res, diag, cfg)}")
 
-    cli.save_results(args.out, samples_mean=samples.mean(0), samples_std=samples.std(0),
-                     ejsd=res.stats.ejsd, delta=res.delta, xs_true=xs_true,
+    cli.save_results(args.out, samples_mean=pooled.mean(0),
+                     samples_std=pooled.std(0),
+                     ejsd=stats.ejsd, delta=res.delta, xs_true=xs_true,
                      ys=ys, sampling_time=res.sampling_time)
     return res
 

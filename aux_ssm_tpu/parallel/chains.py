@@ -19,6 +19,7 @@ orbax after each segment. Per-iteration keys are `fold_in(phase_key,
 global_iter)` per chain, so segmented, killed-and-resumed, and monolithic
 runs are bitwise identical.
 """
+import time
 from typing import Callable, Optional
 
 import jax
@@ -27,8 +28,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import CHAINS
-from ..experiments.runner import RunConfig, _phase_segment, _BURNIN_PHASE, \
-    _SAMPLE_PHASE
+from ..experiments.runner import RunConfig, RunResult, _phase_segment, \
+    _BURNIN_PHASE, _SAMPLE_PHASE
 from ..utils.profiling import fence as _fence
 from ..utils.stats import init_stats
 
@@ -71,9 +72,10 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
     every `checkpoint_every` iterations (default: end of each phase) and
     resumes bitwise-identically from the latest checkpoint.
 
-    Returns (states, stats, deltas, samples|None); every output keeps the
-    leading chain axis (`samples` is a HOST array of shape
-    (n_chains, n_samples, ...)). Aggregate with `aggregate_chain_stats`.
+    Returns a `RunResult`; every output keeps the leading chain axis
+    (`samples` is a HOST array of shape (n_chains, n_samples, ...)), and
+    `sampling_time` excludes burn-in and compilation like `run_chain`'s.
+    Aggregate the stats with `aggregate_chain_stats`.
     """
     n_chains = jax.tree.leaves(get_stats_x(init_states))[0].shape[0]
     keys = chain_keys(key, n_chains)
@@ -143,9 +145,11 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
                     sample_buf[:, :n_prev] = prev
                     n_collected = n_prev
 
+    sampling_time = 0.0
+
     def run_phase(phase_id, phase_keys, n_total, adapt, collect, start, states,
-                  deltas, stats):
-        nonlocal n_collected
+                  deltas, stats, timed=False):
+        nonlocal n_collected, sampling_time
         every = checkpoint_every if (checkpoint_dir and checkpoint_every > 0) \
             else n_total
         segs = {}
@@ -155,11 +159,16 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
             if length not in segs:
                 seg = _phase_segment(kernel, n_total, adapt, collect, cfg,
                                      get_stats_x, length)
-                segs[length] = jax.jit(
-                    jax.vmap(seg, in_axes=(0, 0, 0, 0, None)))
+                fn = jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0, None)))
+                segs[length] = fn.lower(phase_keys, states, deltas, stats,
+                                        jnp.int32(t)).compile()
+            _fence((states, deltas, stats))
+            tic = time.perf_counter()
             states, deltas, stats, xs = segs[length](
                 phase_keys, states, deltas, stats, jnp.int32(t))
             _fence(stats if xs is None else xs)
+            if timed:
+                sampling_time += time.perf_counter() - tic
             t += length
             if collect:
                 xs_np = np.asarray(xs)          # (n_chains, length, ...)
@@ -186,13 +195,14 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
 
     states, deltas, sample_stats = run_phase(
         _SAMPLE_PHASE, sample_keys, cfg.n_samples, False, collect_samples, it,
-        states, deltas, sample_stats)
+        states, deltas, sample_stats, timed=True)
 
     samples = None
     if collect_samples:
         samples = (sample_buf[:, :n_collected] if n_collected
                    else np.zeros((n_chains, 0), np.float32))
-    return states, sample_stats, deltas, samples
+    return RunResult(state=states, stats=sample_stats, delta=deltas,
+                     samples=samples, sampling_time=sampling_time)
 
 
 def aggregate_chain_stats(stats):

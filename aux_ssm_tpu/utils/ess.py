@@ -166,3 +166,31 @@ def potential_scale_reduction(chains, rank_normalized=True):
     folded = jnp.abs(split - jnp.median(split))
     tail = _rhat_of(_rank_normalize(folded))
     return jnp.maximum(bulk, tail)
+
+
+def rhat_from_moments(chain_means, chain_vars, n):
+    """Classical (non-split) R-hat per coordinate from per-chain online
+    moments — for runs whose sample histories are too large to keep
+    (e.g. a 100k-sample Lorenz Gibbs reproduction where only the in-scan
+    `OnlineStats` moments survive).
+
+    Parameters
+    ----------
+    chain_means, chain_vars : Array (n_chains, ...)
+        Per-chain posterior mean and variance estimates per coordinate
+        (`stats.mean_x`, `utils.stats.variance(stats)`).
+    n : int
+        Samples per chain.
+
+    Returns
+    -------
+    rhat : Array (...) — per-coordinate potential scale reduction; +inf for
+    coordinates with zero within-chain variance (stuck chains).
+    """
+    chain_means = jnp.asarray(chain_means)
+    W = jnp.mean(jnp.asarray(chain_vars), axis=0)
+    B = n * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = W * (n - 1.0) / n + B / n
+    return jnp.where(W > 0.0,
+                     jnp.sqrt(var_plus / jnp.where(W > 0.0, W, 1.0)),
+                     jnp.inf)

@@ -165,11 +165,13 @@ def test_run_sharded_chains_segmented_matches_monolithic(tmp_path):
     key = jax.random.key(3)
     mesh = make_mesh(devices=jax.devices()[:4], axis_names=(CHAINS,))
 
-    st_m, stats_m, d_m, smp_m = run_sharded_chains(
+    res_m = run_sharded_chains(
         key, kernel, states, cfg, mesh=mesh, collect_samples=True)
-    st_s, stats_s, d_s, smp_s = run_sharded_chains(
+    res_s = run_sharded_chains(
         key, kernel, states, cfg, mesh=mesh, collect_samples=True,
         checkpoint_dir=str(tmp_path / "ckA"), checkpoint_every=7)
+    st_m, stats_m, d_m, smp_m = res_m.state, res_m.stats, res_m.delta, res_m.samples
+    st_s, stats_s, d_s, smp_s = res_s.state, res_s.stats, res_s.delta, res_s.samples
 
     assert smp_m.shape == (4, cfg.n_samples, 4)
     np.testing.assert_array_equal(np.asarray(smp_m), np.asarray(smp_s))
@@ -219,10 +221,12 @@ def test_run_sharded_chains_kill_resume_bitwise(tmp_path):
     resumed = run_sharded_chains(key, kernel, states, cfg, mesh=mesh,
                                  collect_samples=True, checkpoint_dir=d,
                                  checkpoint_every=8)
-    np.testing.assert_array_equal(np.asarray(full[3]), np.asarray(resumed[3]))
-    np.testing.assert_array_equal(np.asarray(full[0].x),
-                                  np.asarray(resumed[0].x))
-    np.testing.assert_allclose(np.asarray(full[2]), np.asarray(resumed[2]))
+    np.testing.assert_array_equal(np.asarray(full.samples),
+                                  np.asarray(resumed.samples))
+    np.testing.assert_array_equal(np.asarray(full.state.x),
+                                  np.asarray(resumed.state.x))
+    np.testing.assert_allclose(np.asarray(full.delta),
+                               np.asarray(resumed.delta))
 
 
 def test_run_chain_kill_resume_mid_sampling(tmp_path):

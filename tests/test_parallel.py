@@ -137,10 +137,12 @@ def test_sharded_chains_kalman(cmesh):
     # Exact proposal always accepts, so adaptation grows delta until the clip;
     # cap it to keep the augmented-R LGSSM numerically sane.
     cfg = RunConfig(n_samples=1500, burnin=200, delta_init=1.0, max_delta=100.0)
-    states, stats, deltas, samples = run_sharded_chains(
+    res = run_sharded_chains(
         jax.random.key(0), kernel, states, cfg, mesh=cmesh, collect_samples=True
     )
+    states, stats, samples = res.state, res.stats, res.samples
     assert samples.shape == (n_chains, cfg.n_samples, T, DX)
+    assert res.sampling_time > 0.0
 
     agg = aggregate_chain_stats(stats)
     assert float(agg.accept_cum) > 0.999
