@@ -305,8 +305,8 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt, score_mesh=None,
     trajectory/origin/key/param blocks through every level): trajectories are
     proposed once and NEVER gathered during the tree. Each level only
 
-      1. resolves the node-boundary particle orderings by composing the
-         earlier levels' selection maps (O(N) ints per boundary row),
+      1. carries the node-boundary particle VALUES forward (two gathers per
+         merge — see `run_stitch_tree`),
       2. computes the N^2 boundary weights on those two rows (fused
          factorised matmul or generic nested-vmap), and
       3. records the drawn index pairs (L_k, R_k).
@@ -387,7 +387,7 @@ def _sharded_block_masses(score_mesh, score_axis, rf, cf, cb, use_pallas):
 
 def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
                     include_root, level_seeds=None, pair_offsets=None,
-                    score_mesh=None, score_axis=None):
+                    score_mesh=None, score_axis=None, return_bounds=False):
     """Run the dSMC stitching levels over S "steps", recording selections.
 
     left_vals / right_vals : (S, N, d) particle sets serving as a node's
@@ -399,10 +399,20 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
     step_keys / params : per-step PRNG keys and (right-shifted) Gt params.
     include_root : draw one unconditional pair at the top level instead of N.
 
+    Boundary orderings are maintained FORWARD as per-node boundary VALUE
+    arrays (`x_first[i]` / `x_last[i]` = the level's node i's first/last-step
+    particle values, updated by one gather per drawn selection) instead of
+    recomposing each boundary's selection chain from scratch per level
+    (the round-3 `_boundary_sigma` scheme — measured ~35% of the whole PIT
+    step at N=4096 T=1024: O(level) width-1 one-hot gathers per boundary vs
+    exactly two per merge here, with identical values bit-for-bit).
+
     Returns (sels, root): `sels` is a list over recorded levels of
     (L, R, n_act) selection arrays (L/R (n_act, N) int32), `root` the single
-    (l*, r*) pair (or None). The genealogy is NOT resolved here — compose
-    with `resolve_genealogy`.
+    (l*, r*) pair (or None). With `return_bounds`, returns
+    (sels, root, (x_first, x_last)) — the final top node's boundary values
+    (each (N, d); the cross-chip kernel's chunk boundary sets). The
+    genealogy is NOT resolved here — compose with `resolve_genealogy`.
     """
     S = left_vals.shape[0]
     fused = getattr(Gt, "supports_pairwise_factors", False)
@@ -413,6 +423,13 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
 
     sels = []                       # per level: (L, R, n_act) with L/R (n_act, N)
     root = None
+    # Per-node boundary values at the current level (node i covers steps
+    # [i*2^k, (i+1)*2^k) intersected with [0, S)). At level 0 every node is
+    # one step: first = right_vals, last = left_vals (they are the same
+    # array in the single-device tree; the cross-chip upper tree feeds the
+    # chunk-last sets as left_vals and chunk-first sets as right_vals).
+    x_first = right_vals
+    x_last = left_vals
     # A step's initial importance weights enter the pair weights at the FIRST
     # level where it serves as a node boundary (for every step but the last
     # of an odd S that is level 0; the odd tail step only joins at the unique
@@ -421,25 +438,20 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
     consumed = np.zeros(S, dtype=bool)
     for k in range(K):
         block = 1 << k
+        n_nodes = -(-S // block)               # real nodes at this level
         mids_all = (2 * np.arange(pow2 // (2 * block)) + 1) * block
         mids = mids_all[mids_all < S]          # active nodes are a prefix
         n_act = len(mids)
+        assert n_act == n_nodes // 2
         if n_act == 0:
             sels.append(None)
             continue
         lefts, rights = mids - 1, mids
 
-        if any(s is not None for s in sels):
-            sig_l = _boundary_sigma(lefts, k, sels, N)
-            sig_r = _boundary_sigma(rights, k, sels, N)
-            xl = take_rows(left_vals[lefts], sig_l)
-            xr = take_rows(right_vals[rights], sig_r)
-        else:
-            # Level 0 (and any level before the first active one): every
-            # boundary ordering is the identity — skip the (n_act, N, d)
-            # gathers entirely (~70 ms at N=4096, T=1024).
-            xl = left_vals[lefts]
-            xr = right_vals[rights]
+        xf_even, xf_odd = x_first[0::2], x_first[1::2]
+        xl_even, xl_odd = x_last[0::2], x_last[1::2]
+        xl = xl_even[:n_act]                   # left child's last step
+        xr = xf_odd[:n_act]                    # right child's first step
         if log_wts is not None:
             fresh_l = jnp.asarray(~consumed[lefts])[:, None]
             fresh_r = jnp.asarray(~consumed[rights])[:, None]
@@ -468,7 +480,18 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
             root = (rows[:, 0], cols[:, 0])    # single node, single pair
         else:
             sels.append((rows, cols, n_act))
+            # Merged node p: first values = left child's firsts reordered by
+            # the drawn rows, last values = right child's lasts by the drawn
+            # columns. A trailing even node without a sibling passes through.
+            new_first = take_rows(xf_even[:n_act], rows)
+            new_last = take_rows(xl_odd[:n_act], cols)
+            x_first = jnp.concatenate([new_first, xf_even[n_act:]], axis=0)
+            x_last = jnp.concatenate([new_last, xl_even[n_act:]], axis=0) \
+                if n_nodes % 2 else jnp.concatenate(
+                    [new_last, xl_odd[n_act:]], axis=0)
 
+    if return_bounds:
+        return sels, root, (x_first[0], x_last[0])
     return sels, root
 
 
@@ -514,22 +537,6 @@ def resolve_genealogy(sels, idx_init, S, N):
             continue
         idx = jnp.take_along_axis(maps, idx[:, None], axis=1)[:, 0]
     return idx
-
-
-def _boundary_sigma(ts_np, k, sels, N):
-    """Current particle ordering sigma_t (rows, N) at the static boundary
-    times `ts_np`, composed from levels 0..k-1's selections:
-    sigma after level j = sigma_before[s_j] (a take_along_axis per level)."""
-    rows = len(ts_np)
-    sigma = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (rows, N))
-    for j in range(k):
-        if sels[j] is None:
-            continue
-        maps = _level_selection_rows(ts_np, j, sels[j], N)
-        if maps is None:
-            continue
-        sigma = take_rows(sigma, maps.astype(jnp.int32), index_payload=True)
-    return sigma
 
 
 def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,

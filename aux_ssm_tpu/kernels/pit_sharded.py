@@ -35,7 +35,7 @@ from jax import shard_map
 
 from .csmc_base import CSMCState
 from .pit import (run_stitch_tree, resolve_genealogy, _root_init,
-                  _boundary_sigma, _pit_csmc as _pit_csmc_single)
+                  _pit_csmc as _pit_csmc_single)
 from ..parallel.mesh import PARTICLES
 from ..parallel.time_scan import TIME
 
@@ -172,17 +172,14 @@ def _sharded_pit(key, x_star, Mt, G0, Gt, N, Qt, mesh, axis, C):
     def local_fn(xs_c, lw_c, keys_c, params_c, seeds_c):
         chunk = jax.lax.axis_index(axis)
         offsets = chunk * jnp.asarray(n_act_chunk)
-        sels, _ = run_stitch_tree(xs_c, xs_c, lw_c, keys_c, params_c, Gt, N,
-                                  include_root=False, level_seeds=seeds_c,
-                                  pair_offsets=offsets)
-        sig_f = _boundary_sigma(np.array([0]), Kl, sels, N)
-        sig_l = _boundary_sigma(np.array([Tc - 1]), Kl, sels, N)
-        first = jnp.take_along_axis(xs_c[0:1], sig_f[..., None], axis=1)
-        last = jnp.take_along_axis(xs_c[Tc - 1:Tc], sig_l[..., None], axis=1)
+        sels, _, (first, last) = run_stitch_tree(
+            xs_c, xs_c, lw_c, keys_c, params_c, Gt, N,
+            include_root=False, level_seeds=seeds_c,
+            pair_offsets=offsets, return_bounds=True)
         flat = []
         for (L, R, _n) in sels:
             flat += [L, R]
-        return tuple(flat) + (first, last)
+        return tuple(flat) + (first[None], last[None])
 
     n_sel_arrays = 2 * Kl
     out_specs = tuple([P(axis)] * n_sel_arrays) + (P(axis), P(axis))

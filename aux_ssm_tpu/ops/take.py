@@ -44,7 +44,11 @@ def _prefix_tile(x):
     """Inclusive prefix sums over the last (TILE-wide) axis via MXU matmul.
     HIGHEST precision keeps f32 products exact (bf16 hi/mid/lo split); the
     summation association differs from `cumsum`, which only permutes f32
-    rounding — both are valid CDF associations for inverse-CDF draws."""
+    rounding — both are valid CDF associations for inverse-CDF draws.
+
+    (Round-4 A/B: a manual 3-pass bf16-split at DEFAULT precision is 2.4x
+    SLOWER than one HIGHEST matmul here — XLA re-materialises the one-hot /
+    triangle operand per pass instead of fusing the iota-compare once.)"""
     return jax.lax.dot_general(x, _tri().astype(x.dtype),
                                (((x.ndim - 1,), (0,)), ((), ())),
                                precision=_HI)

@@ -1,12 +1,16 @@
-"""Headline benchmark: auxiliary-Kalman sampler throughput on a T=1024, d=16
-LGSSM (BASELINE.md metric: samples/sec/chip), parallel-in-time filtering +
-backward sampling, f32, single chip.
+"""Headline benchmark: auxiliary-Kalman sampler on a T=1024, d=16 LGSSM —
+BOTH BASELINE.md metrics: samples/sec/chip (parallel-in-time filtering +
+backward sampling, f32, single chip) and ESS/sec (second-order factory,
+adapted-then-frozen delta, via benchmarks/headline_ess.run_one).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.json "published": {}), so
-vs_baseline is null.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+first (the driver parses the last/only line tail), then one more line for
+ESS/sec. The reference publishes no numbers (BASELINE.json
+"published": {}), so vs_baseline is null.
 """
 import json
+import os
+import sys
 import time
 
 import jax
@@ -62,8 +66,32 @@ def main():
         "value": round(float(samples_per_sec), 3),
         "unit": "samples/s/chip",
         "vs_baseline": None,
-    }))
+    }), flush=True)
+
+
+def ess_line():
+    """Second metric line (BASELINE: 'samples/sec/chip AND ESS/sec'):
+    kalman-2 ESS/sec on the same T=1024 d=16 model, adapted-then-frozen
+    delta at target alpha 0.5 (the headline_ess.py methodology)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from headline_ess import run_one
+    r = run_one(order=2, alpha=0.5)
+    print(json.dumps({
+        "metric": "aux_kalman2_ess_per_sec_T1024_d16",
+        "value": r["ess_per_sec"],
+        "unit": "ESS/s/chip",
+        "vs_baseline": None,
+    }), flush=True)
 
 
 if __name__ == "__main__":
+    # ESS first so the throughput line stays last (the driver's parsed
+    # headline metric, comparable to BENCH_r01..r03). A failure in the ESS
+    # leg must not take down the headline metric.
+    try:
+        ess_line()
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "aux_kalman2_ess_per_sec_T1024_d16",
+                          "error": f"{type(e).__name__}: {e}"}), flush=True)
     main()

@@ -95,22 +95,36 @@ def config3():
 
 
 def config4():
-    """Spatio-temporal d=32 grid? BASELINE says d=32 state; we use the
-    spatial model's batched scalar layout at B=d^2 with sharded chains."""
+    """BASELINE config 4 as specified: spatio-temporal grid at d=32
+    (B = d^2 = 1024 independent scalar filters — the (T, B, 1, 1) layout the
+    scalar lane-scan kernel was built for), T=1024, parallel-in-time scan,
+    chains sharded over the available mesh."""
     import jax
     import jax.numpy as jnp
     from aux_ssm_tpu.models import spatial as sp
+    from aux_ssm_tpu.parallel.mesh import make_mesh, CHAINS
+    from aux_ssm_tpu.parallel.chains import shard_chains, chain_keys
 
-    T, D = 256, 6  # B = 36 scalar filters, parallel-in-time
+    T, D = 1024, 32                       # B = 1024 scalar lanes
+    n_dev = len(jax.devices())
+    C = max(4, n_dev)                     # chains, sharded when they divide
     rng = np.random.default_rng(0)
     _, ys = sp.get_data(rng, 0.3, 1.0, -0.25, 4.0, D, T)
     ys = jnp.asarray(ys, jnp.float32)
-    init, kernel = sp.get_kalman_kernel(ys, 0.3, 4.0, -0.25, 1.0, D, parallel=True)
-    x0 = jnp.zeros((T, D * D), jnp.float32)
-    sps, _ = _time_scan(lambda k, s: kernel(k, s, jnp.float32(0.05)),
-                        init(x0), 50, jax.random.key(1))
-    return {"config": 4, "name": "spatial_T256_B36_parallel_scan",
-            "samples_per_sec": round(sps, 2)}
+    init, kernel = sp.get_kalman_kernel(ys, 0.3, 4.0, -0.25, 1.0, D,
+                                        parallel=True)
+    states = jax.vmap(init)(jnp.zeros((C, T, D * D), jnp.float32))
+    if C % n_dev == 0:
+        states = shard_chains(make_mesh(axis_names=(CHAINS,)), states)
+
+    def step(key, ss):
+        keys = chain_keys(key, C)
+        return jax.vmap(lambda k, s: kernel(k, s, jnp.float32(0.05)))(keys, ss)
+
+    sps, _ = _time_scan(step, states, 20, jax.random.key(1))
+    return {"config": 4, "name": "spatial_T1024_B1024_parallel_scan_sharded",
+            "n_chains": C, "n_devices": n_dev,
+            "chain_samples_per_sec": round(sps * C, 2)}
 
 
 def config5():

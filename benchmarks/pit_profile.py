@@ -6,7 +6,7 @@ jitted, outputs consumed) so optimisation effort lands where the time is:
 
   full        one whole kernel step (reference point)
   proposals   T x N proposal sampling + weight init
-  tree        run_stitch_tree (all levels: factors, masses, draws, sigma)
+  tree        run_stitch_tree (all levels: factors, masses, draws, bounds)
   masses0     level-0 block-mass pass alone (P=512, N, k=1)
   draws0      level-0 fused stitch_draws alone
   factors0    level-0 pairwise-factor build + boundary gathers alone
