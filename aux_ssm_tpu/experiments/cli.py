@@ -86,7 +86,8 @@ def run_config(args, **overrides):
 
 
 def run_maybe_sharded(run_key, kernel, state, cfg, args, *,
-                      collect_samples=False, delta_init=None):
+                      collect_samples=False, delta_init=None,
+                      collect_fn=None):
     """Single- or multi-chain dispatch shared by the experiment drivers.
 
     `--n-chains 1` (default): plain `run_chain`, `diag` is None.
@@ -110,7 +111,8 @@ def run_maybe_sharded(run_key, kernel, state, cfg, args, *,
     if n_chains <= 1:
         res = run_chain(run_key, kernel, state, cfg,
                         collect_samples=collect_samples, delta_init=delta_init,
-                        checkpoint_dir=ckpt_dir, checkpoint_every=ckpt_every)
+                        checkpoint_dir=ckpt_dir, checkpoint_every=ckpt_every,
+                        collect_fn=collect_fn)
         return res, None
 
     from ..parallel.chains import run_sharded_chains, aggregate_chain_stats
@@ -134,7 +136,8 @@ def run_maybe_sharded(run_key, kernel, state, cfg, args, *,
     res = run_sharded_chains(run_key, kernel, states, cfg, mesh=mesh,
                              collect_samples=collect_samples,
                              delta_init=delta0, checkpoint_dir=ckpt_dir,
-                             checkpoint_every=ckpt_every)
+                             checkpoint_every=ckpt_every,
+                             collect_fn=collect_fn)
     agg = aggregate_chain_stats(res.stats)
 
     if collect_samples and res.samples is not None and res.samples.size:

@@ -62,6 +62,71 @@ def sv_style_comparison(results, n_samples, out_dir):
     return ejsd_df, eff_df
 
 
+def spatial_style_comparison(results, n_samples, out_dir):
+    """Spatial per-style EJSD and EJSD/time tables + figure — the same
+    analysis as the reference's `examples/spatial/results/
+    results_analysis_cpu.py:66-103` (per-time EJSD summed over the B = D^2
+    components, divided by per-iteration wall time). Reuses the generic
+    machinery with spatial-named outputs."""
+    ejsd_df, eff_df = sv_style_comparison(results, n_samples, out_dir)
+    for old, new in (("ESJD.csv", "spatial_ESJD.csv"),
+                     ("ESJD_time.csv", "spatial_ESJD_time.csv"),
+                     ("sv_ejsd.png", "spatial_ejsd.png")):
+        os.replace(os.path.join(out_dir, old), os.path.join(out_dir, new))
+    return ejsd_df, eff_df
+
+
+def lorenz_freq_comparison(results, out_dir):
+    """Lorenz parameter-learning analysis across observation/smoothing
+    frequencies (reference schedule `examples/lorenz/experiment.sh`, freq in
+    {1, 2, 4, 8}; artifacts saved by `experiment.py:272-284`).
+
+    results: {freq: dict(theta_samples=(n, 3), ejsd=(T, d) or (T,),
+    sampling_time=float)}. Writes lorenz_theta.csv (per-freq posterior
+    mean/std of each theta coordinate + throughput/EJSD summary) and
+    lorenz_theta.png (posterior histograms overlaid across freqs + theta
+    traces)."""
+    import pandas as pd
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _ensure_dir(out_dir)
+    names = ["theta1", "theta2", "theta3"]
+    rows = []
+    for freq, res in sorted(results.items()):
+        th = np.asarray(res["theta_samples"])
+        if th.ndim == 3:                       # (n_chains, n, 3) -> pooled
+            th = th.reshape(-1, th.shape[-1])
+        ejsd = np.asarray(res["ejsd"])
+        t_iter = float(res["sampling_time"]) / max(len(th), 1)
+        rows.append({"freq": freq, "n_samples": len(th),
+                     "time_per_iter_s": t_iter,
+                     "mean_ejsd": float(ejsd.mean()),
+                     "ejsd_per_sec": float(ejsd.mean() / t_iter),
+                     **{f"{n}_mean": float(th[:, i].mean())
+                        for i, n in enumerate(names)},
+                     **{f"{n}_std": float(th[:, i].std())
+                        for i, n in enumerate(names)}})
+    df = pd.DataFrame(rows)
+    df.to_csv(os.path.join(out_dir, "lorenz_theta.csv"), index=False)
+
+    fig, axes = plt.subplots(2, 3, figsize=(13, 7))
+    for i, name in enumerate(names):
+        for freq, res in sorted(results.items()):
+            th = np.asarray(res["theta_samples"]).reshape(-1, 3)
+            axes[0, i].hist(th[:, i], bins=60, density=True, alpha=0.5,
+                            label=f"freq={freq}")
+            axes[1, i].plot(th[:, i], lw=0.4, alpha=0.7, label=f"freq={freq}")
+        axes[0, i].set(title=f"{name} posterior", xlabel=name)
+        axes[1, i].set(title=f"{name} trace", xlabel="iteration")
+    axes[0, 0].legend(frameon=False, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "lorenz_theta.png"), dpi=150)
+    plt.close(fig)
+    return df
+
+
 def rare_event_heatmaps(rows, out_dir, stem="rare_event"):
     """rows: the per-cell dict list produced by `experiments.rare_event
     .run_grid` (keys rho, r2, err_mean_0/T, err_std_0/T, ess_0/T, acc).
@@ -117,20 +182,43 @@ def main(argv=None):
     p_sv.add_argument("--n-samples", type=int, required=True)
     p_sv.add_argument("--out-dir", default="results")
 
+    p_sp = sub.add_parser("spatial")
+    p_sp.add_argument("--run", action="append", required=True,
+                      metavar="STYLE=PATH.npz")
+    p_sp.add_argument("--n-samples", type=int, required=True)
+    p_sp.add_argument("--out-dir", default="results")
+
+    p_lz = sub.add_parser("lorenz")
+    p_lz.add_argument("--run", action="append", required=True,
+                      metavar="FREQ=PATH.npz")
+    p_lz.add_argument("--out-dir", default="results")
+
     p_re = sub.add_parser("rare-event")
     p_re.add_argument("--summary", required=True, help="run_grid CSV output")
     p_re.add_argument("--out-dir", default="results")
 
     args = p.parse_args(argv)
-    if args.cmd == "sv":
+    if args.cmd in ("sv", "spatial"):
         results = {}
         for spec in args.run:
             style, path = spec.split("=", 1)
             data = np.load(path)
             results[style] = dict(ejsd=data["ejsd"],
                                   sampling_time=float(data["sampling_time"]))
-        sv_style_comparison(results, args.n_samples, args.out_dir)
-        print(f"wrote ESJD.csv / ESJD_time.csv / sv_ejsd.png to {args.out_dir}")
+        fn = (sv_style_comparison if args.cmd == "sv"
+              else spatial_style_comparison)
+        fn(results, args.n_samples, args.out_dir)
+        print(f"wrote ESJD / ESJD_time / ejsd figure to {args.out_dir}")
+    elif args.cmd == "lorenz":
+        results = {}
+        for spec in args.run:
+            freq, path = spec.split("=", 1)
+            data = np.load(path)
+            results[int(freq)] = dict(
+                theta_samples=data["theta_samples"], ejsd=data["ejsd"],
+                sampling_time=float(data["sampling_time"]))
+        lorenz_freq_comparison(results, args.out_dir)
+        print(f"wrote lorenz_theta.csv / lorenz_theta.png to {args.out_dir}")
     else:
         import pandas as pd
         rows = pd.read_csv(args.summary).to_dict("records")

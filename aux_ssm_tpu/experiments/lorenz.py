@@ -88,8 +88,12 @@ def main(argv=None):
     state = init(x0, theta0)
 
     cfg = cli.run_config(args)
+    # The theta trace is tiny (n_samples x 3); always collect it so the
+    # freq-comparison analysis (reference `examples/lorenz/experiment.py:
+    # 272-284` saves theta_samples) works from any run's .npz.
     res, diag = cli.run_maybe_sharded(jax.random.key(args.seed + 1), kernel,
-                                      state, cfg, args, collect_samples=False)
+                                      state, cfg, args, collect_samples=True,
+                                      collect_fn=lambda s: s.theta)
     stats = diag["stats"] if diag else res.stats
 
     theta = np.asarray(res.state.theta)
@@ -102,7 +106,9 @@ def main(argv=None):
           f"{cli.chain_summary(res, diag, cfg)}")
 
     cli.save_results(args.out, mean_x=stats.mean_x, ejsd=stats.ejsd,
-                     theta=theta, delta=res.delta, sampling_time=res.sampling_time)
+                     theta=theta, theta_samples=np.asarray(res.samples),
+                     delta=res.delta, sampling_time=res.sampling_time,
+                     freq=args.freq)
     return res
 
 

@@ -65,7 +65,8 @@ class RunResult:
 
 
 def _phase_segment(kernel: Callable, n_total: int, adapt: bool, collect: bool,
-                   cfg: RunConfig, get_stats_x, length: int):
+                   cfg: RunConfig, get_stats_x, length: int,
+                   collect_fn: Callable = None):
     """Jitted scan over `length` kernel steps starting at a (traced) global
     iteration index. Keys are `fold_in(phase_key, i)` per global step, so any
     segmentation of [0, n_total) yields the same chain."""
@@ -99,7 +100,8 @@ def _phase_segment(kernel: Callable, n_total: int, adapt: bool, collect: bool,
                 jax.debug.callback(_report, i, jnp.min(delta), jnp.max(delta),
                                    jnp.mean(stats.accept_win),
                                    jnp.mean(stats.accept_cum))
-            out = get_stats_x(new_state) if collect else None
+            out = ((collect_fn or get_stats_x)(new_state)
+                   if collect else None)
             return (new_state, delta, stats), out
 
         (state, delta, stats), xs = jax.lax.scan(
@@ -119,12 +121,17 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
               get_stats_x: Callable = lambda s: s.x,
               delta_init=None,
               checkpoint_dir: Optional[str] = None,
-              checkpoint_every: int = 0) -> RunResult:
+              checkpoint_every: int = 0,
+              collect_fn: Callable = None) -> RunResult:
     """Burn-in with adaptation, then frozen-delta sampling.
 
     `kernel(key, state, delta) -> state` per the universal contract.
     `delta_init` (optional) overrides cfg.delta_init and may be a per-step
     (T,) vector (cSMC-style time-local adaptation).
+    `collect_fn` (optional) overrides what `collect_samples` records per
+    iteration (default `get_stats_x`, i.e. the trajectory) — e.g. a Gibbs
+    chain's parameter block (`lambda s: s.theta`), whose full trace is tiny
+    next to the trajectory history.
 
     With `checkpoint_dir` set, the loop persists its full state every
     `checkpoint_every` iterations (default: end of each phase) and resumes
@@ -159,8 +166,8 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
     # Orbax rejects zero-size arrays, so the (possibly empty) collected-sample
     # buffer is stored padded to >=1 rows alongside its true row count.
     def _samples_payload():
-        shape = np.shape(get_stats_x(state))
-        dtype = np.asarray(get_stats_x(state)).dtype
+        shape = np.shape((collect_fn or get_stats_x)(state))
+        dtype = np.asarray((collect_fn or get_stats_x)(state)).dtype
         if not collect_samples:
             return np.zeros((1, 1), dtype=np.float32), 0
         if n_collected:
@@ -212,7 +219,8 @@ def run_chain(key, kernel: Callable, init_state, cfg: RunConfig,
             length = min(every, n_total - t)
             if length not in segs:
                 fn = _phase_segment(kernel, n_total, adapt, collect, cfg,
-                                    get_stats_x, length)
+                                    get_stats_x, length,
+                                    collect_fn=collect_fn)
                 segs[length] = fn.lower(phase_key, state, delta, stats,
                                         jnp.int32(t)).compile()
             _fence((state, delta, stats))

@@ -465,14 +465,21 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
         params_r = jax.tree.map(lambda z: z[rights], params)
         last = include_root and k == K - 1
 
+        new_first = new_last = None
         if fused:
             seed_k = None if level_seeds is None else level_seeds[k]
             off_k = 0 if pair_offsets is None else pair_offsets[k]
-            rows, cols = _fused_node_draw(xl, xr, lw_l, lw_r, params_r,
-                                          node_keys, Gt, N, last, use_pallas,
-                                          seed=seed_k, pair_offset=off_k,
-                                          score_mesh=score_mesh,
-                                          score_axis=score_axis)
+            out = _fused_node_draw(xl, xr, lw_l, lw_r, params_r,
+                                   node_keys, Gt, N, last, use_pallas,
+                                   seed=seed_k, pair_offset=off_k,
+                                   score_mesh=score_mesh,
+                                   score_axis=score_axis,
+                                   row_payload=None if last else xf_even[:n_act],
+                                   col_payload=None if last else xl_odd[:n_act])
+            if last:
+                rows, cols = out
+            else:
+                rows, cols, new_first, new_last = out
         else:
             rows, cols = _generic_node_draw(xl, xr, lw_l, lw_r, params_r,
                                             node_keys, Gt, N, last)
@@ -482,9 +489,12 @@ def run_stitch_tree(left_vals, right_vals, log_wts, step_keys, params, Gt, N,
             sels.append((rows, cols, n_act))
             # Merged node p: first values = left child's firsts reordered by
             # the drawn rows, last values = right child's lasts by the drawn
-            # columns. A trailing even node without a sibling passes through.
-            new_first = take_rows(xf_even[:n_act], rows)
-            new_last = take_rows(xl_odd[:n_act], cols)
+            # columns (riding the fused draw's payload matmuls when
+            # available). A trailing even node without a sibling passes
+            # through.
+            if new_first is None:
+                new_first = take_rows(xf_even[:n_act], rows)
+                new_last = take_rows(xl_odd[:n_act], cols)
             x_first = jnp.concatenate([new_first, xf_even[n_act:]], axis=0)
             x_last = jnp.concatenate([new_last, xl_even[n_act:]], axis=0) \
                 if n_nodes % 2 else jnp.concatenate(
@@ -541,7 +551,7 @@ def resolve_genealogy(sels, idx_init, S, N):
 
 def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
                      use_pallas, seed=None, pair_offset=0, score_mesh=None,
-                     score_axis=None):
+                     score_axis=None, row_payload=None, col_payload=None):
     """Two-stage factorised draw for one level's nodes — the law of
     `fused_stitching_operator` on boundary rows only. Returns (rows, cols),
     each (n_act, N) (or (n_act, 1) at the root). `seed`/`pair_offset`
@@ -549,7 +559,28 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
     nodes (cross-chip sharding) draws bit-identically to the full launch.
     With `score_mesh`, the O(N^2) block-mass pass is column-sharded over
     `score_mesh[score_axis]` (the root stays replicated — its law uses the
-    streaming row-LSE, and it is 1/(T-1) of the tree's score work)."""
+    streaming row-LSE, and it is 1/(T-1) of the tree's score work).
+
+    `row_payload`/`col_payload` (n_act, N, e): per-row/per-column values to
+    return gathered by the drawn rows/cols (the stitch tree's boundary
+    particle values). Returns (rows, cols, rpay, cpay) when BOTH are given.
+    On the joint-draw path the selections ride the draw's existing one-hot
+    payload matmuls for ~free (a separate take_rows costs ~15 ms device at
+    (512, 4096) scalar shapes); other paths fall back to `take_rows`. Exact
+    either way — identical values, identical draws."""
+    with_payload = row_payload is not None
+    assert with_payload == (col_payload is not None)
+    def finish(rows, cols, rpay=None, cpay=None):
+        """Attach the payload selections (take_rows fallback for branches
+        that do not ride them through the draw matmuls)."""
+        if not with_payload:
+            return rows, cols
+        if rpay is None:
+            rpay = take_rows(row_payload, rows)
+        if cpay is None:
+            cpay = take_rows(col_payload, cols)
+        return rows, cols, rpay, cpay
+
     rf, cf, rb, cb = jax.vmap(Gt.pairwise_factors)(xl, xr, params_r)
     rb = rb + lw_l
     cb = cb + lw_r
@@ -580,15 +611,25 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         u2 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 1), ()))(
             node_keys)
         col = jax.vmap(categorical_from_uniforms)(s, u2[:, None])[:, 0]
-        return row[:, None], col[:, None]
+        return finish(row[:, None], col[:, None])
 
     u_rows = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(key_rows)
     if seed is None:
         seed = jax.random.randint(node_keys[0], (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     if blocked and mode == "joint":
-        # rf_sel rides the flat draw's final one-hot matmul; draw 0's entries
-        # are don't-care because pair 0 is re-pinned to (0, 0) afterwards.
+        # rf_sel (and any payload) rides the flat draw's final one-hot
+        # matmul; draw 0's entries are don't-care because pair 0 is re-pinned
+        # to (0, 0) afterwards (payloads re-pinned to index 0's values).
+        if with_payload:
+            rows, blocks, rf_sel, rpay = _stitch.joint_rowblock_draws(
+                u_rows, rb, Lb, row_feat=rf, row_extra=row_payload)
+            cols, cpay = _stitch.within_block_cols(
+                seed, blocks, rf_sel, cf, cb, pair_offset=pair_offset,
+                col_extra=col_payload)
+            return (rows.at[:, 0].set(0), cols.at[:, 0].set(0),
+                    rpay.at[:, 0].set(row_payload[:, 0]),
+                    cpay.at[:, 0].set(col_payload[:, 0]))
         rows, blocks, rf_sel = _stitch.joint_rowblock_draws(u_rows, rb, Lb,
                                                             row_feat=rf)
         cols = _stitch.within_block_cols(seed, blocks, rf_sel, cf, cb,
@@ -600,7 +641,7 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         draw = _stitch.stitch_draws if use_pallas else _stitch.stitch_draws_xla
         rows, cols = draw(seed, row_logits, u_rows, Lb, rf, cf, cb,
                           pair_offset=pair_offset)
-        return rows.at[:, 0].set(0), cols.at[:, 0].set(0)
+        return finish(rows.at[:, 0].set(0), cols.at[:, 0].set(0))
     rows = categorical_from_uniforms(row_logits, u_rows)
     rows = rows.at[:, 0].set(0)
     rf_sel = take_rows(rf, rows)
@@ -613,7 +654,7 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
                 if use_pallas
                 else _stitch.col_sample_xla(seed, rf_sel, cf, cb, pair_offset))
     cols = cols.at[:, 0].set(0)
-    return rows, cols
+    return finish(rows, cols)
 
 
 def _generic_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last):

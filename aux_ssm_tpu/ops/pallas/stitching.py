@@ -398,18 +398,23 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
 
 
 def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
-                      pair_offset=0):
+                      pair_offset=0, col_extra=None):
     """Stage 2b alone: given each draw's column block, draw the within-block
     column by Gumbel-argmax over the recomputed 128-wide score slice. Counter
     stream (seed, pair, draw, block, j_loc) — identical to the corresponding
     stage of `blocked_col_sample`/`stitch_draws`.
 
     blocks (P, n) int32; row_feat_sel (P, n, k); col_feat (P, N, k);
-    col_bias (P, N) -> (P, n) int32 column ids.
+    col_bias (P, N) -> (P, n) int32 column ids. `col_extra` (P, N, e)
+    appends per-column values to the block-payload ride; returns
+    (cols, extra_sel (P, n, e)) with extra_sel[p, i] = col_extra[p, cols[p, i]]
+    resolved by a within-block lane reduce (exact) — no separate
+    `take_rows(extra, cols)` pass.
     """
     P, n, k = row_feat_sel.shape
     N = col_feat.shape[1]
     nb = N // _COL_BLOCK
+    e = 0 if col_extra is None else col_extra.shape[-1]
     seed = jnp.asarray(seed, jnp.int32)
     # -inf biases (indicator potentials / zero weights) would NaN-poison the
     # one-hot payload matmul below (0 * -inf); the floor keeps the law exact
@@ -419,26 +424,37 @@ def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
                 + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
     draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
 
-    # The per-draw block payload [cf | cb] is selected with one one-hot MXU
-    # matmul (exact at HIGHEST; measured 1.8x over the block gathers).
-    payload = jnp.concatenate(
-        [jnp.swapaxes(col_feat.reshape(P, nb, _COL_BLOCK, k), 2, 3
-                      ).reshape(P, nb, k * _COL_BLOCK),
-         col_bias.reshape(P, nb, _COL_BLOCK)], axis=-1)
-    sel = _select_tile_rows(payload, blocks)          # (P, n, (k+1)*128)
+    # The per-draw block payload [cf | cb | extra] is selected with one
+    # one-hot MXU matmul (exact at HIGHEST; measured 1.8x over the block
+    # gathers).
+    parts = [jnp.swapaxes(col_feat.reshape(P, nb, _COL_BLOCK, k), 2, 3
+                          ).reshape(P, nb, k * _COL_BLOCK),
+             col_bias.reshape(P, nb, _COL_BLOCK)]
+    if e:
+        parts.append(jnp.swapaxes(col_extra.reshape(P, nb, _COL_BLOCK, e),
+                                  2, 3).reshape(P, nb, e * _COL_BLOCK))
+    payload = jnp.concatenate(parts, axis=-1)
+    sel = _select_tile_rows(payload, blocks)          # (P, n, (k+1+e)*128)
     cf_sel = jnp.swapaxes(
         sel[..., :k * _COL_BLOCK].reshape(P, n, k, _COL_BLOCK), 2, 3)
-    cb_sel = sel[..., k * _COL_BLOCK:]
+    cb_sel = sel[..., k * _COL_BLOCK:(k + 1) * _COL_BLOCK]
     s2 = jnp.einsum("pnk,pnjk->pnj", row_feat_sel, cf_sel) + cb_sel
     j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 2)
     u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
                            blocks[:, :, None], j_loc)             # (P, n, 128)
     g = s2 - jnp.log(-jnp.log(u_in))
     j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
-    return blocks * _COL_BLOCK + j_star
+    cols = blocks * _COL_BLOCK + j_star
+    if not e:
+        return cols
+    ex = jnp.swapaxes(sel[..., (k + 1) * _COL_BLOCK:]
+                      .reshape(P, n, e, _COL_BLOCK), 2, 3)   # (P, n, 128, e)
+    mask = (j_loc == j_star[..., None])[..., None]
+    extra_sel = jnp.sum(jnp.where(mask, ex, jnp.zeros_like(ex)), axis=2)
+    return cols, extra_sel
 
 
-def joint_rowblock_draws(u, row_bias, Lb, row_feat=None):
+def joint_rowblock_draws(u, row_bias, Lb, row_feat=None, row_extra=None):
     """Joint (row, column-block) draws from P(i, b) ∝ exp(row_bias_i + Lb_ib).
 
     Because P(i, b) = P(i) P(b | i) with P(i) ∝ exp(row_bias_i + lse_i), one
@@ -452,9 +468,13 @@ def joint_rowblock_draws(u, row_bias, Lb, row_feat=None):
     tile of 128 (row, block) cells spans 128/nb consecutive rows, so the
     whole rf table reshapes to a per-tile payload and the per-draw row gather
     (the slowest stage of the unfused path, ~37 ms at N=4096) disappears.
+    `row_extra` (P, N, e) appends more per-row values (e.g. the stitch tree's
+    boundary particle values) to the same ride — a separate
+    `take_rows(extra, rows)` costs ~15 ms of device time at (512, 4096)
+    scalar shapes (benchmarks/take_ab.py) vs ~0 here.
 
     u (P, n) uniforms; row_bias (P, N); Lb (P, N, nb) -> (rows, blocks)
-    [, rf_sel (P, n, k)], each (P, n) int32.
+    [, rf_sel (P, n, k)] [, extra_sel (P, n, e)], each (P, n) int32.
     """
     P, N, nb = Lb.shape
     # Floor -inf cells (empty blocks / zero-weight rows): exactly-zero mass
@@ -464,29 +484,36 @@ def joint_rowblock_draws(u, row_bias, Lb, row_feat=None):
     flat = jnp.maximum(flat, _NEG_FLOOR)
     NF = N * nb
     if row_feat is None:
+        assert row_extra is None
         idx = categorical_from_uniforms(flat, u)
         rows = (idx // nb).astype(jnp.int32)
         return rows, (idx - rows * nb).astype(jnp.int32)
 
+    k = row_feat.shape[-1]
+    e = 0 if row_extra is None else row_extra.shape[-1]
+    feat = (row_feat if row_extra is None
+            else jnp.concatenate([row_feat, row_extra], axis=-1))
     if (_use_tile_path() and NF % _TILE == 0 and NF // _TILE > _TILE
             and _TILE % nb == 0):
         rpt = _TILE // nb                       # rows per flat tile
-        k = row_feat.shape[-1]
-        payload = row_feat.reshape(P, NF // _TILE, rpt * k)
+        payload = feat.reshape(P, NF // _TILE, rpt * (k + e))
         m = jnp.max(flat, axis=-1, keepdims=True)
         w = jnp.exp(flat - m)
         wt = w.reshape(P, NF // _TILE, _TILE)
         idx, psel = _three_level_draw(wt, jnp.sum(wt, axis=-1), u, payload)
         r_loc = (idx % _TILE) // nb             # (P, n) row within the tile
-        psel = psel.reshape(P, idx.shape[-1], rpt, k)
+        psel = psel.reshape(P, idx.shape[-1], rpt, k + e)
         lane = jax.lax.broadcasted_iota(jnp.int32, psel.shape[:-1], 2)
-        rf_sel = jnp.sum(jnp.where((lane == r_loc[:, :, None])[..., None],
-                                   psel, 0.0), axis=2)
+        sel = jnp.sum(jnp.where((lane == r_loc[:, :, None])[..., None],
+                                psel, 0.0), axis=2)
     else:
         idx = categorical_from_uniforms(flat, u)
-        rf_sel = take_rows(row_feat, (idx // nb).astype(jnp.int32))
+        sel = take_rows(feat, (idx // nb).astype(jnp.int32))
     rows = (idx // nb).astype(jnp.int32)
-    return rows, (idx - rows * nb).astype(jnp.int32), rf_sel
+    blocks = (idx - rows * nb).astype(jnp.int32)
+    if row_extra is None:
+        return rows, blocks, sel
+    return rows, blocks, sel[..., :k], sel[..., k:]
 
 
 # --------------------------------------------------------------------------

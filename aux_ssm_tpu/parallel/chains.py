@@ -63,7 +63,8 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
                        get_stats_x: Callable = lambda s: s.x,
                        delta_init=None,
                        checkpoint_dir: Optional[str] = None,
-                       checkpoint_every: int = 0):
+                       checkpoint_every: int = 0,
+                       collect_fn: Callable = None):
     """Run `n_chains` independent chains (leading axis of `init_states`)
     through burn-in + sampling, sharded over `mesh`'s chains axis.
 
@@ -112,8 +113,9 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
             return np.zeros((1, 1), np.float32), 0
         if n_collected:
             return sample_buf[:, :n_collected], n_collected
-        shape = np.shape(get_stats_x(states))
-        dtype = np.asarray(jax.tree.leaves(get_stats_x(states))[0]).dtype
+        shape = np.shape((collect_fn or get_stats_x)(states))
+        dtype = np.asarray(jax.tree.leaves(
+            (collect_fn or get_stats_x)(states))[0]).dtype
         return np.zeros((shape[0], 1) + shape[1:], dtype), 0
 
     if checkpoint_dir:
@@ -158,7 +160,8 @@ def run_sharded_chains(key, kernel: Callable, init_states, cfg: RunConfig,
             length = min(every, n_total - t)
             if length not in segs:
                 seg = _phase_segment(kernel, n_total, adapt, collect, cfg,
-                                     get_stats_x, length)
+                                     get_stats_x, length,
+                                     collect_fn=collect_fn)
                 fn = jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0, None)))
                 segs[length] = fn.lower(phase_keys, states, deltas, stats,
                                         jnp.int32(t)).compile()

@@ -519,3 +519,92 @@ def test_blocked_paths_tolerate_neg_inf_biases():
     fb = freq[:128].reshape(8, -1).sum(1)
     pb = p[:128].reshape(8, -1).sum(1)
     np.testing.assert_allclose(fb, pb, atol=5 * 0.5 / np.sqrt(n_seeds))
+
+
+@pytest.mark.parametrize("fast_take", ["0", "1"])
+def test_payload_riding_matches_take_rows(monkeypatch, fast_take):
+    """`joint_rowblock_draws(row_extra=...)` / `within_block_cols(col_extra=
+    ...)` must return exactly take_along_axis(extra, rows/cols) — the
+    boundary-value ride the stitch tree uses instead of separate scalar
+    selects — on both the flat-fallback and the hierarchical tile paths,
+    without changing the draws themselves."""
+    monkeypatch.setenv("AUX_SSM_FAST_TAKE", fast_take)
+    rng = np.random.default_rng(5)
+    P, N, k, e, n = 2, 2048, 1, 2, 256   # N*nb/128 = 256 > 128: 3-level path
+    rf = jnp.asarray(0.3 * rng.standard_normal((P, N, k)), jnp.float32)
+    cf = jnp.asarray(0.3 * rng.standard_normal((P, N, k)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+    rex = jnp.asarray(rng.standard_normal((P, N, e)), jnp.float32)
+    cex = jnp.asarray(rng.standard_normal((P, N, e)), jnp.float32)
+    Lb = st.block_masses_xla(rf, cf, cb)
+    u = jax.random.uniform(jax.random.key(1), (P, n))
+
+    base = jax.jit(lambda: st.joint_rowblock_draws(u, rb, Lb, row_feat=rf))()
+    rows0, blocks0, rf_sel0 = base
+    rows, blocks, rf_sel, rpay = jax.jit(lambda: st.joint_rowblock_draws(
+        u, rb, Lb, row_feat=rf, row_extra=rex))()
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(rows0))
+    np.testing.assert_array_equal(np.asarray(blocks), np.asarray(blocks0))
+    np.testing.assert_array_equal(np.asarray(rf_sel), np.asarray(rf_sel0))
+    want_r = np.take_along_axis(np.asarray(rex),
+                                np.asarray(rows)[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(rpay), want_r)
+
+    cols0 = jax.jit(lambda: st.within_block_cols(
+        jnp.int32(7), blocks, rf_sel, cf, cb))()
+    cols, cpay = jax.jit(lambda: st.within_block_cols(
+        jnp.int32(7), blocks, rf_sel, cf, cb, col_extra=cex))()
+    np.testing.assert_array_equal(np.asarray(cols), np.asarray(cols0))
+    want_c = np.take_along_axis(np.asarray(cex),
+                                np.asarray(cols)[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(cpay), want_c)
+
+
+def test_node_draw_payload_pinning(monkeypatch):
+    """`_fused_node_draw` with payloads re-pins slot 0's values to index 0
+    on every engine (joint rides the matmuls; fused/unfused take_rows)."""
+    from aux_ssm_tpu.kernels import pit as pit_mod
+    from aux_ssm_tpu.kernels.csmc_base import Potential
+
+    monkeypatch.setenv("AUX_SSM_STITCH", "blocked")
+    rng = np.random.default_rng(3)
+    N, d = 128, 1
+    sig, phi = 0.9, 0.7
+
+    @chex.dataclass
+    class PairGt(Potential):
+        prev_dependent = False
+        supports_pairwise_factors = True
+
+        def pairwise_factors(self, x_left, x_right, params):
+            return diag_gaussian_pair_factors(phi * x_left, x_right, sig)
+
+    xl = jnp.asarray(rng.standard_normal((2, N, d)), dtype=jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((2, N, d)), dtype=jnp.float32)
+    lw = jnp.zeros((2, N), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 2)
+    gt = PairGt(params=None)
+    rex = jnp.asarray(rng.standard_normal((2, N, d)), jnp.float32)
+    cex = jnp.asarray(rng.standard_normal((2, N, d)), jnp.float32)
+
+    for mode in ["joint", "unfused"]:
+        monkeypatch.setenv("AUX_SSM_STITCH_DRAWS", mode)
+        rows0, cols0 = jax.jit(lambda: pit_mod._fused_node_draw(
+            xl, xr, lw, lw, None, keys, gt, N, False, False))()
+        rows, cols, rpay, cpay = jax.jit(lambda: pit_mod._fused_node_draw(
+            xl, xr, lw, lw, None, keys, gt, N, False, False,
+            row_payload=rex, col_payload=cex))()
+        np.testing.assert_array_equal(np.asarray(rows), np.asarray(rows0)), mode
+        np.testing.assert_array_equal(np.asarray(cols), np.asarray(cols0)), mode
+        want_r = np.take_along_axis(np.asarray(rex),
+                                    np.asarray(rows)[:, :, None], axis=1)
+        want_c = np.take_along_axis(np.asarray(cex),
+                                    np.asarray(cols)[:, :, None], axis=1)
+        np.testing.assert_array_equal(np.asarray(rpay), want_r), mode
+        np.testing.assert_array_equal(np.asarray(cpay), want_c), mode
+        assert np.all(np.asarray(rows)[:, 0] == 0)
+        np.testing.assert_array_equal(np.asarray(rpay)[:, 0],
+                                      np.asarray(rex)[:, 0])
+        np.testing.assert_array_equal(np.asarray(cpay)[:, 0],
+                                      np.asarray(cex)[:, 0])
