@@ -123,6 +123,17 @@ def get_feynman_kac(y, rho, r2, T):
         def logpdf_factors(self, x_prev, x_next, _t):
             return diag_gaussian_pair_factors(rho * x_prev, x_next, sig_x)
 
+        # (1, N) lane-row callables for the fused forward sweep
+        # (`csmc_fwd.lane_forward_scan`). rho/sig ride the per-step params —
+        # NOT the Python closure — because the rare-event grid driver builds
+        # this model under a vmap over (rho, r2) cells: a closed-over tracer
+        # inside a Pallas kernel body is invisible to the batching rule.
+        def lane_propagate(self, eps, x_prev, p):
+            return p["rho"] * x_prev + p["sig"] * eps
+
+        def lane_logpdf(self, x_next, x_prev, p):
+            return norm.logpdf(x_next, p["rho"] * x_prev, p["sig"])
+
     @chex.dataclass
     class G0(UnivariatePotential):
         def __call__(self, x):
@@ -132,10 +143,16 @@ def get_feynman_kac(y, rho, r2, T):
     class Gt(Potential):
         prev_dependent = False
 
-        def __call__(self, x_next, _x_t, t):
-            return (t == T - 1) * norm.logpdf(y, x_next[..., 0], r)
+        def __call__(self, x_next, _x_t, p):
+            return (p["t"] == T - 1) * norm.logpdf(y, x_next[..., 0], p["r"])
 
-    return M0(), G0(), Mt(params=jnp.zeros((T - 1, 0))), Gt(params=jnp.arange(1, T))
+        def lane_logw(self, x_next, _x_prev, p):
+            return (p["t"] == T - 1) * norm.logpdf(p["y"], x_next, p["r"])
+
+    bcast = lambda z: jnp.broadcast_to(jnp.asarray(z), (T - 1,))
+    mt_params = dict(rho=bcast(rho), sig=bcast(sig_x))
+    gt_params = dict(t=jnp.arange(1, T), y=bcast(y), r=bcast(r))
+    return M0(), G0(), Mt(params=mt_params), Gt(params=gt_params)
 
 
 def get_csmc_kernel(y, rho, r2, T, n_particles, backward=True, parallel=False,
@@ -157,7 +174,8 @@ def get_guided_csmc_kernel(y, rho, r2, T, n_particles, backward=True,
     r = jnp.sqrt(r2)
 
     def factory(u, scale):
-        sig0s = jnp.ones((T,)).at[1:].set(sig_x)       # prior scale per step
+        dt = u.dtype                                   # keep the chain dtype
+        sig0s = jnp.ones((T,), dt).at[1:].set(sig_x)   # prior scale per step
         Ks = sig0s ** 2 / (sig0s ** 2 + scale ** 2)    # scalar gains
         sig_props = sig0s * jnp.sqrt(1.0 - Ks)         # proposal scales
 
@@ -189,37 +207,56 @@ def get_guided_csmc_kernel(y, rho, r2, T, n_particles, backward=True,
                 out += (T == 1) * norm.logpdf(x[..., 0], y, r)
                 return out
 
+        def guided_mu(x_pred, p):
+            """Proposal mean from per-step params ONLY (no closure values):
+            shared by the XLA methods and the Pallas lane callables — the
+            grid driver builds this model under a vmap over (rho, r2) cells,
+            and a closed-over tracer inside a Pallas kernel body is invisible
+            to the batching rule."""
+            g = (p["t"] == T - 1) * (p["y"] - x_pred) / p["r2"]
+            su = p["u"] + gradient * p["scale"] ** 2 * g
+            return x_pred + p["K"] * (su - x_pred)
+
         @chex.dataclass
         class GuidedMt(Dynamics):
             def sample(self, key, x_t, params):
                 return self.sample_from_noise(
                     jax.random.normal(key, x_t.shape), x_t, params)
 
-            def sample_from_noise(self, eps, x_t, params):
-                K, sig_p, u_t, scale_t, t = params
-                x_pred = rho * x_t
-                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
-                return mu + sig_p * eps
+            def sample_from_noise(self, eps, x_t, p):
+                return guided_mu(p["rho"] * x_t, p) + p["sig_p"] * eps
 
-            def logpdf(self, x_next, x_t, params):
-                K, sig_p, u_t, scale_t, t = params
-                x_pred = rho * x_t[..., 0]
-                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
-                return norm.logpdf(x_next[..., 0], mu, sig_p)
+            def logpdf(self, x_next, x_t, p):
+                mu = guided_mu(p["rho"] * x_t[..., 0], p)
+                return norm.logpdf(x_next[..., 0], mu, p["sig_p"])
+
+            # (1, N) lane-row callables (fused forward sweep).
+            def lane_propagate(self, eps, x_prev, p):
+                return guided_mu(p["rho"] * x_prev, p) + p["sig_p"] * eps
+
+            def lane_logpdf(self, x_next, x_prev, p):
+                mu = guided_mu(p["rho"] * x_prev, p)
+                return norm.logpdf(x_next, mu, p["sig_p"])
 
         @chex.dataclass
         class GuidedGt(Potential):
-            def __call__(self, x_next, x_t, params):
-                K, sig_p, u_t, scale_t, t = params
-                x_pred = rho * x_t[..., 0]
-                mu = x_pred + K * (shifted_u(u_t, scale_t, x_pred, t) - x_pred)
-                out = norm.logpdf(x_next[..., 0], x_pred, sig_x)
-                out += norm.logpdf(x_next[..., 0], u_t, scale_t)
-                out -= norm.logpdf(x_next[..., 0], mu, sig_p)
-                out += (t == T - 1) * norm.logpdf(y, x_next[..., 0], r)
+            def __call__(self, x_next, x_t, p):
+                return self.lane_logw(x_next[..., 0], x_t[..., 0], p)
+
+            def lane_logw(self, x_next, x_prev, p):
+                x_pred = p["rho"] * x_prev
+                mu = guided_mu(x_pred, p)
+                out = norm.logpdf(x_next, x_pred, p["sig"])
+                out += norm.logpdf(x_next, p["u"], p["scale"])
+                out -= norm.logpdf(x_next, mu, p["sig_p"])
+                out += (p["t"] == T - 1) * norm.logpdf(p["y"], x_next, p["r"])
                 return out
 
-        params = (Ks[1:], sig_props[1:], u[1:, 0], scale[1:], jnp.arange(1, T))
+        bcast = lambda z: jnp.broadcast_to(jnp.asarray(z).astype(dt), (T - 1,))
+        params = dict(K=Ks[1:], sig_p=sig_props[1:], u=u[1:, 0],
+                      scale=scale[1:], t=jnp.arange(1, T).astype(dt),
+                      rho=bcast(rho), sig=bcast(sig_x), y=bcast(y),
+                      r=bcast(r), r2=bcast(r2))
         return GuidedM0(), GuidedG0(), GuidedMt(params=params), GuidedGt(params=params)
 
     return csmc_aux.get_kernel(factory, n_particles, backward, Pt, resampling)

@@ -73,3 +73,44 @@ def test_posterior_moments(style):
     np.testing.assert_allclose(xs[:, -1, 0].mean(), mTc, atol=tolT)
     np.testing.assert_allclose(xs[:, 0, 0].std(), np.sqrt(v0c), rtol=0.1)
     np.testing.assert_allclose(xs[:, -1, 0].std(), np.sqrt(vTc), rtol=0.1)
+
+
+@pytest.mark.parametrize("guided", [False, True])
+def test_lane_path_under_grid_vmap_matches_generic(guided, monkeypatch):
+    """The fused lane forward path must produce the same chain as the
+    generic scan when the model is built under a vmap over traced
+    (rho, r2) grid cells — the rare-event grid driver's exact pattern.
+    Every model quantity the lane callables read rides the per-step params
+    (a closed-over tracer inside a Pallas kernel body is invisible to the
+    batching rule); this pins the params-threading down on the XLA twin."""
+    T, N, n_iter = 8, 16, 4
+    rhos = jnp.asarray([0.2, 0.8], jnp.float32)
+    r2s = jnp.asarray([0.5, 0.05], jnp.float32)
+
+    def chain(key, rho, r2):
+        if guided:
+            init, kern = re_model.get_guided_csmc_kernel(
+                Y, rho, r2, T, N, backward=True, gradient=True)
+        else:
+            init, kern = re_model.get_csmc_kernel(
+                Y, rho, r2, T, N, backward=True)
+        # Ambient default dtype (f64 under the test conftest's x64): the
+        # model samples with default-dtype normals, so an f32 carry would
+        # be promoted mid-scan.
+        st = init(jnp.zeros((T, 1)))
+        delta = 0.3 * jnp.ones((T,))
+
+        def body(s, k):
+            s = kern(k, s, delta)
+            return s, s.x[:, 0]
+
+        keys = jax.random.split(key, n_iter)
+        _, xs = jax.lax.scan(body, st, keys)
+        return xs
+
+    keys = jax.random.split(jax.random.key(3), 2)
+    monkeypatch.setenv("AUX_SSM_FUSED_CSMC", "xla")
+    fused = np.asarray(jax.jit(jax.vmap(chain))(keys, rhos, r2s))
+    monkeypatch.setenv("AUX_SSM_FUSED_CSMC", "0")
+    gen = np.asarray(jax.jit(jax.vmap(chain))(keys, rhos, r2s))
+    np.testing.assert_allclose(fused, gen, rtol=1e-5, atol=1e-5)
