@@ -277,8 +277,24 @@ def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb,
         m = jnp.max(s, axis=1, keepdims=True)
         m = jnp.where(jnp.isfinite(m), m, 0.0)
         e = jnp.exp(s - m)
-        mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        # Block reduce as THREE bf16 one-pass MXU matmuls instead of one
+        # multi-pass f32 matmul: e splits exactly into bf16 planes
+        # (hi = bf16(e), mid = bf16(e - hi), lo = e - hi - mid — the last
+        # residual has <= 6 significant bits left, exact in bf16), B is
+        # exact 0/1, and each plane accumulates in f32, so the result
+        # differs from the f32 matmul only in summation association
+        # (~1 ulp on <= 128-term nonnegative sums). Mass values stay within
+        # the validated 2e-6 band; MXU time for this pass halves
+        # (same-session A/B in benchmarks/RESULTS_r4.md).
+        Bb = B.astype(jnp.bfloat16)
+        e_hi = e.astype(jnp.bfloat16)
+        r1 = e - e_hi.astype(jnp.float32)
+        e_mid = r1.astype(jnp.bfloat16)
+        e_lo = (r1 - e_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda z: jax.lax.dot_general(
+            z, Bb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mass = (dot(e_hi) + dot(e_mid)) + dot(e_lo)
         out_ref[0, 0] = jnp.log(mass) + m
 
 

@@ -55,15 +55,49 @@ def _prefix_tile(x):
 
 
 def _select_tile_rows(mat, idx):
-    """Exact per-draw row selection mat[..., idx, :] as a one-hot MXU matmul
-    (HIGHEST precision reproduces f32 values bit-exactly). mat (..., R, C),
-    idx (..., n) -> (..., n, C). XLA fuses the one-hot iota-compare into the
-    matmul operand, so nothing (..., n, R) hits HBM; measured 2.3x over the
-    `take_along_axis` row-gather lowering at (512, 4096, 128)-ish shapes."""
-    oh = jax.nn.one_hot(idx, mat.shape[-2], dtype=mat.dtype)
+    """Exact per-draw row selection mat[..., idx, :] as a one-hot MXU matmul.
+    mat (..., R, C), idx (..., n) -> (..., n, C). XLA fuses the one-hot
+    iota-compare into the matmul operand, so nothing (..., n, R) hits HBM;
+    measured 2.3x over the `take_along_axis` row-gather lowering at
+    (512, 4096, 128)-ish shapes.
+
+    Opt-in (AUX_SSM_PLANE_SELECT=1) BIT-EXACT bf16 lowering: a one-hot
+    contraction selects exactly one row, so each output element is a single
+    product `1.0 * mat[r, c]` — exact as long as the operand planes are
+    exact. f32 `mat` is split into three bf16 planes (hi = bf16(x),
+    mid = bf16(x - hi), lo = x - hi - mid; the third residual fits bf16
+    exactly: <= 6 significant bits left of a 24-bit mantissa), CONCATENATED
+    along the width so ONE default-precision bf16 matmul serves all three,
+    and the planes are re-added on the VPU — bit-identical to the HIGHEST
+    f32 matmul (disjoint mantissa windows of <= 24 bits total).
+
+    Default OFF: in-graph, XLA does NOT fuse the one-hot iota-compare into
+    a bf16 matmul the way it does for the f32 HIGHEST one — it materialises
+    the (..., n, R) one-hot in HBM (4.3 GB at the PIT N=4096 stage-1
+    shapes), and the whole PIT step measured 2x SLOWER (153 -> 311 ms/step,
+    same-session A/B, benchmarks/RESULTS_r4.md). Kept for in-kernel use
+    where operands are VMEM-resident (see
+    `ops/pallas/stitching._block_masses_kernel`, where the same 3-plane
+    trick IS a win because nothing round-trips HBM).
+    """
+    R = mat.shape[-2]
     b = tuple(range(mat.ndim - 2))
-    return jax.lax.dot_general(oh, mat, (((oh.ndim - 1,), (mat.ndim - 2,)),
-                                         (b, b)), precision=_HI)
+    if (mat.dtype != jnp.float32 or not _use_tile_path()
+            or os.environ.get("AUX_SSM_PLANE_SELECT", "0") != "1"):
+        oh = jax.nn.one_hot(idx, R, dtype=mat.dtype)
+        return jax.lax.dot_general(oh, mat, (((oh.ndim - 1,), (mat.ndim - 2,)),
+                                             (b, b)), precision=_HI)
+    C = mat.shape[-1]
+    hi = mat.astype(jnp.bfloat16)
+    r1 = mat - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, mid, lo], axis=-1)         # (..., R, 3C)
+    oh = jax.nn.one_hot(idx, R, dtype=jnp.bfloat16)
+    sel = jax.lax.dot_general(
+        oh, planes, (((oh.ndim - 1,), (planes.ndim - 2,)), (b, b)),
+        preferred_element_type=jnp.float32)                  # (..., n, 3C)
+    return (sel[..., :C] + sel[..., C:2 * C]) + sel[..., 2 * C:]
 
 
 def _use_tile_path():

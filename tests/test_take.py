@@ -147,3 +147,23 @@ def test_categorical_1d(force_tile):
     idx = tk.categorical_from_uniforms(logits, u)
     assert idx.shape == (3,)
     assert int(idx[0]) == 0 and int(idx[2]) == 127
+
+
+def test_select_tile_rows_bf16_planes_bitexact(force_tile, monkeypatch):
+    """The 3-plane bf16 one-hot selection (opt-in path) must reproduce f32
+    rows BIT-exactly (hi/mid/lo are disjoint exact mantissa windows; the one-hot
+    contraction touches one row per output). Mixed magnitudes + negatives +
+    the -1e30 neg-floor stress the split."""
+    monkeypatch.setenv("AUX_SSM_PLANE_SELECT", "1")
+    rng = np.random.default_rng(42)
+    P, R, C, n = 3, 64, 17, 41
+    vals = rng.standard_normal((P, R, C)) * np.exp(
+        rng.uniform(-30, 30, size=(P, R, C)))
+    vals[0, 0, 0] = -1e30
+    vals[1, 2, 3] = 0.0
+    vals[2, 5, :] = 1.0 + np.finfo(np.float32).eps
+    mat = jnp.asarray(vals, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, R, size=(P, n)), jnp.int32)
+    got = tk._select_tile_rows(mat, idx)
+    want = jnp.take_along_axis(mat, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
