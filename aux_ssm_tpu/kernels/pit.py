@@ -341,7 +341,13 @@ def _pit_csmc(key, x_star, Mt, G0, Gt, N, Qt, score_mesh=None,
 
     # Shift Gt params one step right: params[t] weighs the (t-1, t) boundary.
     params = Gt.params
-    fake = jax.tree.map(lambda z: jnp.full_like(z[:1], jnp.nan), params)
+    # The t=0 slot is a pure placeholder (no (t-1, t) boundary exists);
+    # poison float leaves with NaN so accidental use is loud, but fill
+    # integer leaves with 0 — casting NaN to int is UB and warns.
+    fake = jax.tree.map(
+        lambda z: jnp.full_like(
+            z[:1], jnp.nan if jnp.issubdtype(z.dtype, jnp.floating) else 0),
+        params)
     params = jax.tree.map(lambda f, z: jnp.concatenate([f, z], axis=0), fake, params)
 
     sels, root = run_stitch_tree(xs, xs, log_wts, resample_keys, params, Gt, N,

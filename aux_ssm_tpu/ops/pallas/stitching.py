@@ -283,8 +283,16 @@ def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb,
         # residual has <= 6 significant bits left, exact in bf16), B is
         # exact 0/1, and each plane accumulates in f32, so the result
         # differs from the f32 matmul only in summation association
-        # (~1 ulp on <= 128-term nonnegative sums). Mass values stay within
-        # the validated 2e-6 band; MXU time for this pass halves
+        # (~1 ulp on <= 128-term nonnegative sums). Flush regime: e values
+        # below bf16's min subnormal (~2^-133, columns >= ~92 log-units
+        # under the row max) drop out of all three planes — but the matmul
+        # itself already FTZs f32-SUBNORMAL operands (~2^-126, gap >~ 87.3),
+        # so both paths return log-mass -inf for such blocks at the SAME
+        # measured boundary (finite and matching at gap 87, both -inf from
+        # 88 — tests/test_stitching.py::
+        # test_block_masses_suppressed_block_flushes_to_neg_inf). Downstream
+        # draws tolerate -inf block masses. Mass values otherwise stay
+        # within the validated 2e-6 band; MXU time for this pass halves
         # (same-session A/B in benchmarks/RESULTS_r4.md).
         Bb = B.astype(jnp.bfloat16)
         e_hi = e.astype(jnp.bfloat16)

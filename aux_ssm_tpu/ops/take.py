@@ -69,7 +69,11 @@ def _select_tile_rows(mat, idx):
     exactly: <= 6 significant bits left of a 24-bit mantissa), CONCATENATED
     along the width so ONE default-precision bf16 matmul serves all three,
     and the planes are re-added on the VPU — bit-identical to the HIGHEST
-    f32 matmul (disjoint mantissa windows of <= 24 bits total).
+    f32 matmul (disjoint mantissa windows of <= 24 bits total) for
+    |x| >= ~2^-110; below that the mid/lo residual planes fall under
+    bf16's smallest subnormal (~2^-133) and flush to zero, so values with
+    magnitude < ~2^-133 select as 0.0 (callers select exp(logits - max)
+    weights, where such entries carry probability 0 in f32 anyway).
 
     Default OFF: in-graph, XLA does NOT fuse the one-hot iota-compare into
     a bf16 matmul the way it does for the f32 HIGHEST one — it materialises

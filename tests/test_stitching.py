@@ -168,6 +168,58 @@ def test_block_masses_pallas_interpret_matches_xla():
                                rtol=2e-6, atol=2e-6)
 
 
+def test_block_masses_suppressed_block_flushes_to_neg_inf():
+    """A strongly suppressed column block (every column ~88+ log-units under
+    the row max) gets mass exactly 0 / log-mass -inf in BOTH mass paths: the
+    matmul flushes f32-subnormal e = exp(s - m) operands to zero (FTZ at
+    ~2^-126, i.e. gap >~ 87.3), which kicks in BEFORE the bf16 planes' own
+    flush (~2^-133, gap >~ 92) — measured here: both paths agree at gap 87
+    and both return -inf from gap 88. Pin that boundary and the
+    -inf-tolerant contract: row LSE unaffected, blocked draws never select
+    the suppressed block."""
+    N, k = 256, 1
+    rf = jnp.ones((1, N, k), jnp.float32)
+    cf = jnp.zeros((1, N, k), jnp.float32)
+
+    def masses(gap):
+        cb = jnp.concatenate(
+            [jnp.zeros((1, 128)), jnp.full((1, 128), -float(gap))],
+            axis=1).astype(jnp.float32)
+        return (st.block_masses_xla(rf, cf, cb),
+                st.block_masses(rf, cf, cb, interpret=True))
+
+    # gap 87: e ~ 1.6e-38 is f32-normal — both paths finite. Near the FTZ
+    # boundary the mid/lo residual planes (<= 2^-8 of e) are themselves
+    # subnormal and flush, so accuracy there degrades to single-plane bf16
+    # (~1e-2 rel worst-case); block 0 stays in the exact 3-plane regime.
+    want87, got87 = masses(87)
+    assert np.all(np.isfinite(np.asarray(want87)))
+    np.testing.assert_allclose(np.asarray(got87[..., 0]),
+                               np.asarray(want87[..., 0]), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(got87[..., 1]),
+                               np.asarray(want87[..., 1]), rtol=1e-2)
+
+    # gap 95: e ~ 5.5e-42 is f32-subnormal — FTZ in both matmul paths.
+    want95, got95 = masses(95)
+    assert np.all(np.asarray(want95[..., 1]) == -np.inf)
+    assert np.all(np.asarray(got95[..., 1]) == -np.inf)
+    np.testing.assert_allclose(np.asarray(got95[..., 0]),
+                               np.asarray(want95[..., 0]), rtol=2e-6)
+
+    # Row LSE is unchanged (block 0 dominates by ~90 log-units).
+    lse_got = jax.scipy.special.logsumexp(got95, axis=-1)
+    lse_want = jax.scipy.special.logsumexp(want95, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse_got), np.asarray(lse_want),
+                               rtol=2e-6)
+
+    # Downstream joint (row, block) draws tolerate the -inf mass and never
+    # pick the suppressed block.
+    rb = jnp.zeros((1, N), jnp.float32)
+    u = jax.random.uniform(jax.random.key(0), (1, 64))
+    _, blocks = st.joint_rowblock_draws(u, rb, got95)
+    assert np.all(np.asarray(blocks) == 0)
+
+
 def test_blocked_col_sample_law():
     """Block-then-within-block draws must follow the exact conditional
     categorical softmax(rf_i . cf + cb) — same law as `col_sample`."""
