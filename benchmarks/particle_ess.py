@@ -116,6 +116,10 @@ CASES = {
     "theta_pgas": theta_pgas,
     "pit128": lambda: pit(128),
     "pit1024": lambda: pit(1024, n_samples=800, burnin=300),
+    # BASELINE config-5 particle count (~6 samples/s: keep the chain short;
+    # the ESS estimate is coarse but the N-frontier question only needs the
+    # order of magnitude).
+    "pit4096": lambda: pit(4096, n_samples=400, burnin=150),
 }
 
 

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from aux_ssm_tpu.ops.pallas.filter_scan import fused_filter_scan
+from aux_ssm_tpu.ops.pallas.filter_scan import (
+    fused_filter_scan, _fused_filter_scan_chunked)
 
 F = importlib.import_module("aux_ssm_tpu.ops.filtering")
 
@@ -34,6 +35,34 @@ def test_matches_xla_scan(T, dx, dy):
     for w, g, name in zip(want, got, "AbCeJ"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-6,
                                    atol=1e-8, err_msg=name)
+
+
+@pytest.mark.parametrize("T,dx,dy", [(17, 2, 2), (64, 4, 3), (129, 3, 1),
+                                     (300, 3, 2)])
+def test_chunked_matches_xla_scan(T, dx, dy):
+    """The work-efficient chunked kernel (default on TPU at T >= 512; called
+    directly here because the jitted entry caches the env-selected mode per
+    shape) must match the XLA scan at every T — including padded non-block
+    shapes where S is 1 or 2."""
+    elems = _elements(T, dx, dy)
+    want = jax.lax.associative_scan(F.filtering_operator, elems)
+    got = _fused_filter_scan_chunked(elems, interpret=True)
+    for w, g, name in zip(want, got, "AbCeJ"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-6,
+                                   atol=1e-8, err_msg=name)
+
+
+def test_chunked_f32_accuracy():
+    """f32 chunked association vs the f64 oracle — same band as the HS
+    kernel (hardware study: both kernels ~1e-7 norm-relative at the T=1024
+    d=16 headline shape, benchmarks/RESULTS_r5.md)."""
+    elems = _elements(40, 3, 2, seed=3)
+    elems32 = jax.tree.map(lambda z: z.astype(jnp.float32), elems)
+    want = jax.lax.associative_scan(F.filtering_operator, elems)  # f64 oracle
+    got = _fused_filter_scan_chunked(elems32, interpret=True)
+    for w, g, name in zip(want, got, "AbCeJ"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=5e-4,
+                                   atol=5e-5, err_msg=name)
 
 
 def test_f32_accuracy():
