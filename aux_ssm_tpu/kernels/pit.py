@@ -214,6 +214,34 @@ def _draws_mode():
     return "joint"
 
 
+_SUPER = 512          # column-super width of the aggregated stage-1 draw
+
+
+def _super_group(N):
+    """Column-group width for the joint draw's stage 1. At large N the flat
+    (row, block) categorical has N * (N/128) cells, and its final per-draw
+    tile select costs (cells / 128) * tile_width MAC per draw; aggregating
+    128-blocks into 512-supers for stage 1 shrinks that 4x, and the exact
+    column draw then runs one 512-wide within-super pass instead of a
+    128-wide within-block pass (law unchanged: P(row, super) by flat
+    inverse-CDF over LSE-aggregated masses, P(col | row, super) by
+    Gumbel-argmax over the recomputed exact scores).
+
+    Default OFF (G = 128): measured on v5e at N=4096 T=1024, the 4x-smaller
+    stage-1 select does NOT pay for the 4x-wider stage-2 recompute — full
+    PIT step 163 ms (G=128) vs 195 ms (G=512), same session
+    (benchmarks/RESULTS_r5.md). Kept as an opt-in (`AUX_SSM_COL_SUPER=512`
+    or any 128-multiple dividing N) because the balance flips when k is
+    large (stage-2 score recompute is k-independent per lane while the
+    stage-1 tile payload width grows with k)."""
+    env = os.environ.get("AUX_SSM_COL_SUPER", "")
+    if env and env != "0":
+        G = int(env)
+        if G % _stitch._COL_BLOCK == 0 and N % G == 0:
+            return G
+    return _stitch._COL_BLOCK
+
+
 def _fused_gather_concat(inputs_a, inputs_b, l_idx, r_idx, n_samples):
     """Batched trajectory gather + concat; l_idx/r_idx (P, n)."""
     (traj_a, log_w_a, orig_a), keys_a, params_a = inputs_a
@@ -627,19 +655,30 @@ def _fused_node_draw(xl, xr, lw_l, lw_r, params_r, node_keys, Gt, N, last,
         # rf_sel (and any payload) rides the flat draw's final one-hot
         # matmul; draw 0's entries are don't-care because pair 0 is re-pinned
         # to (0, 0) afterwards (payloads re-pinned to index 0's values).
+        G = _super_group(N)
+        fold = G // _stitch._COL_BLOCK
+        if fold > 1:
+            # Aggregate per-128-block masses into G-wide supers for stage 1
+            # (exact: LSE over each group of `fold` block masses); stage 2
+            # resolves the column within the chosen super in one G-wide
+            # Gumbel pass.
+            P_, N_, nb_ = Lb.shape
+            L1 = logsumexp(Lb.reshape(P_, N_, nb_ // fold, fold), axis=-1)
+        else:
+            L1 = Lb
         if with_payload:
             rows, blocks, rf_sel, rpay = _stitch.joint_rowblock_draws(
-                u_rows, rb, Lb, row_feat=rf, row_extra=row_payload)
+                u_rows, rb, L1, row_feat=rf, row_extra=row_payload)
             cols, cpay = _stitch.within_block_cols(
                 seed, blocks, rf_sel, cf, cb, pair_offset=pair_offset,
-                col_extra=col_payload)
+                col_extra=col_payload, group=G)
             return (rows.at[:, 0].set(0), cols.at[:, 0].set(0),
                     rpay.at[:, 0].set(row_payload[:, 0]),
                     cpay.at[:, 0].set(col_payload[:, 0]))
-        rows, blocks, rf_sel = _stitch.joint_rowblock_draws(u_rows, rb, Lb,
+        rows, blocks, rf_sel = _stitch.joint_rowblock_draws(u_rows, rb, L1,
                                                             row_feat=rf)
         cols = _stitch.within_block_cols(seed, blocks, rf_sel, cf, cb,
-                                         pair_offset=pair_offset)
+                                         pair_offset=pair_offset, group=G)
         return rows.at[:, 0].set(0), cols.at[:, 0].set(0)
     if blocked and mode == "fused":
         # Single-launch stage-1 + stage-2: every per-draw gather stays in

@@ -242,68 +242,44 @@ def _env_per_block_max():
 def _block_masses_kernel(rf_ref, cfT_ref, cb_ref, out_ref, *, k, nb,
                          per_block_max):
     """Lb[i, b] = log sum_{j in col-block b} exp(rf_i . cf_j + cb_j) for one
-    128-row block. The block reduction is an MXU matmul of the exponentials
-    with a static (N, nb) indicator.
+    128-row block. The block reduction is nb static 128-lane slice sums
+    (`jnp.sum` cross-lane reduce per column block) — measured 1.7x device
+    time over the previous MXU formulation (3-plane bf16 indicator matmul)
+    at N=4096 P=512: the matmul ran at nb/128 output-lane utilisation, the
+    VPU reduce has no such waste (same-session A/B, RESULTS_r5.md). The
+    summation association differs from a linear matmul accumulation by
+    ~1e-5 on the log-masses (tree vs linear sum over 128 nonnegative
+    terms); the XLA twin `block_masses_xla` stays matmul-based, so the
+    kernel/twin comparison bands are 5e-5.
 
     Stabiliser: the row max by default (cheapest — one reduction). With
     `per_block_max`, the PER-BLOCK max instead: each block's mass then
     depends only on that block's columns bit-for-bit, which is what makes
-    the column-sharded stitching identical across shard counts. The
-    per-block variant costs ~18% more on this pass (one extra indicator
-    matmul + nb slice maxes; measured 31.5 -> 37.1 ms at N=4096 P=128), so
-    it is opt-in for the sharded kernel rather than the default."""
+    the column-sharded stitching identical across shard counts."""
     rf = rf_ref[0]          # (ROW_BLOCK, k)
     cfT = cfT_ref[0]        # (k, N)
     cb = cb_ref[0]          # (1, N)
     N = cfT.shape[1]
     s = _pair_scores(rf, cfT, cb, _ROW_BLOCK, N, k)
-    B = _block_indicator(N, nb, s.dtype)
     if per_block_max:
-        # Collected with static slices, lane-broadcast back via the (exact
-        # 0/1) indicator matmul. An all--inf block would give
-        # exp(-inf - -inf) = nan; the zero floor keeps the exact -inf mass.
-        maxes = [jnp.max(jax.lax.slice_in_dim(
-            s, b * _COL_BLOCK, (b + 1) * _COL_BLOCK, axis=1), axis=1,
-            keepdims=True) for b in range(nb)]
-        mb = maxes[0] if nb == 1 else jnp.concatenate(maxes, axis=1)
-        mb = jnp.where(jnp.isfinite(mb), mb, 0.0)                  # (R, nb)
-        mB = jax.lax.dot_general(mb, B, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        e = jnp.exp(s - mB)
-        mass = jax.lax.dot_general(e, B, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        out_ref[0, 0] = jnp.log(mass) + mb
+        m_row = None
     else:
-        m = jnp.max(s, axis=1, keepdims=True)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)
-        e = jnp.exp(s - m)
-        # Block reduce as THREE bf16 one-pass MXU matmuls instead of one
-        # multi-pass f32 matmul: e splits exactly into bf16 planes
-        # (hi = bf16(e), mid = bf16(e - hi), lo = e - hi - mid — the last
-        # residual has <= 6 significant bits left, exact in bf16), B is
-        # exact 0/1, and each plane accumulates in f32, so the result
-        # differs from the f32 matmul only in summation association
-        # (~1 ulp on <= 128-term nonnegative sums). Flush regime: e values
-        # below bf16's min subnormal (~2^-133, columns >= ~92 log-units
-        # under the row max) drop out of all three planes — but the matmul
-        # itself already FTZs f32-SUBNORMAL operands (~2^-126, gap >~ 87.3),
-        # so both paths return log-mass -inf for such blocks at the SAME
-        # measured boundary (finite and matching at gap 87, both -inf from
-        # 88 — tests/test_stitching.py::
-        # test_block_masses_suppressed_block_flushes_to_neg_inf). Downstream
-        # draws tolerate -inf block masses. Mass values otherwise stay
-        # within the validated 2e-6 band; MXU time for this pass halves
-        # (same-session A/B in benchmarks/RESULTS_r4.md).
-        Bb = B.astype(jnp.bfloat16)
-        e_hi = e.astype(jnp.bfloat16)
-        r1 = e - e_hi.astype(jnp.float32)
-        e_mid = r1.astype(jnp.bfloat16)
-        e_lo = (r1 - e_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda z: jax.lax.dot_general(
-            z, Bb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        mass = (dot(e_hi) + dot(e_mid)) + dot(e_lo)
-        out_ref[0, 0] = jnp.log(mass) + m
+        m_row = jnp.max(s, axis=1, keepdims=True)
+        m_row = jnp.where(jnp.isfinite(m_row), m_row, 0.0)
+    cols = []
+    for b in range(nb):
+        s_b = jax.lax.slice_in_dim(s, b * _COL_BLOCK, (b + 1) * _COL_BLOCK,
+                                   axis=1)
+        if per_block_max:
+            # An all--inf block would give exp(-inf - -inf) = nan; the zero
+            # floor keeps the exact -inf mass.
+            m_b = jnp.max(s_b, axis=1, keepdims=True)
+            m_b = jnp.where(jnp.isfinite(m_b), m_b, 0.0)
+        else:
+            m_b = m_row
+        mass_b = jnp.sum(jnp.exp(s_b - m_b), axis=1, keepdims=True)
+        cols.append(jnp.log(mass_b) + m_b)
+    out_ref[0, 0] = cols[0] if nb == 1 else jnp.concatenate(cols, axis=1)
 
 
 def block_masses(row_feat, col_feat, col_bias, *, per_block_max=None,
@@ -422,22 +398,27 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
 
 
 def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
-                      pair_offset=0, col_extra=None):
-    """Stage 2b alone: given each draw's column block, draw the within-block
-    column by Gumbel-argmax over the recomputed 128-wide score slice. Counter
-    stream (seed, pair, draw, block, j_loc) — identical to the corresponding
-    stage of `blocked_col_sample`/`stitch_draws`.
+                      pair_offset=0, col_extra=None, group=_COL_BLOCK):
+    """Stage 2b alone: given each draw's column group, draw the within-group
+    column by Gumbel-argmax over the recomputed `group`-wide score slice.
+    Counter stream (seed, pair, draw, group_id, j_loc) — identical to the
+    corresponding stage of `blocked_col_sample`/`stitch_draws` at the
+    default group width 128.
 
-    blocks (P, n) int32; row_feat_sel (P, n, k); col_feat (P, N, k);
-    col_bias (P, N) -> (P, n) int32 column ids. `col_extra` (P, N, e)
-    appends per-column values to the block-payload ride; returns
+    blocks (P, n) int32 group ids; row_feat_sel (P, n, k); col_feat
+    (P, N, k); col_bias (P, N) -> (P, n) int32 column ids. `group` is the
+    column-group width (a multiple of 128): the super-block stage-1 draws
+    over (row, 512-column super) and resolves the column here in one
+    512-wide pass — see `kernels/pit._fused_node_draw`. `col_extra`
+    (P, N, e) appends per-column values to the group-payload ride; returns
     (cols, extra_sel (P, n, e)) with extra_sel[p, i] = col_extra[p, cols[p, i]]
-    resolved by a within-block lane reduce (exact) — no separate
+    resolved by a within-group lane reduce (exact) — no separate
     `take_rows(extra, cols)` pass.
     """
     P, n, k = row_feat_sel.shape
     N = col_feat.shape[1]
-    nb = N // _COL_BLOCK
+    G = group
+    ng = N // G
     e = 0 if col_extra is None else col_extra.shape[-1]
     seed = jnp.asarray(seed, jnp.int32)
     # -inf biases (indicator potentials / zero weights) would NaN-poison the
@@ -448,31 +429,30 @@ def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
                 + jnp.asarray(pair_offset, jnp.int32))[:, None]   # (P, 1)
     draw_ids = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
 
-    # The per-draw block payload [cf | cb | extra] is selected with one
+    # The per-draw group payload [cf | cb | extra] is selected with one
     # one-hot MXU matmul (exact at HIGHEST; measured 1.8x over the block
     # gathers).
-    parts = [jnp.swapaxes(col_feat.reshape(P, nb, _COL_BLOCK, k), 2, 3
-                          ).reshape(P, nb, k * _COL_BLOCK),
-             col_bias.reshape(P, nb, _COL_BLOCK)]
+    parts = [jnp.swapaxes(col_feat.reshape(P, ng, G, k), 2, 3
+                          ).reshape(P, ng, k * G),
+             col_bias.reshape(P, ng, G)]
     if e:
-        parts.append(jnp.swapaxes(col_extra.reshape(P, nb, _COL_BLOCK, e),
-                                  2, 3).reshape(P, nb, e * _COL_BLOCK))
+        parts.append(jnp.swapaxes(col_extra.reshape(P, ng, G, e),
+                                  2, 3).reshape(P, ng, e * G))
     payload = jnp.concatenate(parts, axis=-1)
-    sel = _select_tile_rows(payload, blocks)          # (P, n, (k+1+e)*128)
-    cf_sel = jnp.swapaxes(
-        sel[..., :k * _COL_BLOCK].reshape(P, n, k, _COL_BLOCK), 2, 3)
-    cb_sel = sel[..., k * _COL_BLOCK:(k + 1) * _COL_BLOCK]
+    sel = _select_tile_rows(payload, blocks)          # (P, n, (k+1+e)*G)
+    cf_sel = jnp.swapaxes(sel[..., :k * G].reshape(P, n, k, G), 2, 3)
+    cb_sel = sel[..., k * G:(k + 1) * G]
     s2 = jnp.einsum("pnk,pnjk->pnj", row_feat_sel, cf_sel) + cb_sel
     j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 2)
     u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
-                           blocks[:, :, None], j_loc)             # (P, n, 128)
+                           blocks[:, :, None], j_loc)             # (P, n, G)
     g = s2 - jnp.log(-jnp.log(u_in))
     j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
-    cols = blocks * _COL_BLOCK + j_star
+    cols = blocks * G + j_star
     if not e:
         return cols
-    ex = jnp.swapaxes(sel[..., (k + 1) * _COL_BLOCK:]
-                      .reshape(P, n, e, _COL_BLOCK), 2, 3)   # (P, n, 128, e)
+    ex = jnp.swapaxes(sel[..., (k + 1) * G:]
+                      .reshape(P, n, e, G), 2, 3)             # (P, n, G, e)
     mask = (j_loc == j_star[..., None])[..., None]
     extra_sel = jnp.sum(jnp.where(mask, ex, jnp.zeros_like(ex)), axis=2)
     return cols, extra_sel
