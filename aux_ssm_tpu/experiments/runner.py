@@ -64,6 +64,20 @@ class RunResult:
     sampling_time: float    # wall-clock seconds of the sampling phase
 
 
+def _callbacks_supported():
+    """The remote-TPU tunnel backend ("axon") rejects host callbacks
+    (io_callback / debug.callback: "UNIMPLEMENTED: ... host send/recv"), so
+    in-graph progress printing must be dropped there; real TPU/CPU/GPU
+    backends support them. The tunnel registers under platform name 'tpu'
+    — only its backend registry key / platform_version says 'axon'."""
+    try:
+        from jax._src import xla_bridge as xb
+        return "axon" not in (getattr(xb.get_backend(), "platform_version",
+                                      "") or "")
+    except Exception:  # pragma: no cover
+        return True
+
+
 def _phase_segment(kernel: Callable, n_total: int, adapt: bool, collect: bool,
                    cfg: RunConfig, get_stats_x, length: int,
                    collect_fn: Callable = None):
@@ -91,7 +105,7 @@ def _phase_segment(kernel: Callable, n_total: int, adapt: bool, collect: bool,
                     rate = jnp.mean(rate)
                 delta = delta_adaptation(delta, cfg.target_alpha, rate, lr,
                                          cfg.min_delta, cfg.max_delta)
-            if cfg.verbose:
+            if cfg.verbose and _callbacks_supported():
                 def _report(it, dmin, dmax, aw, ac):
                     if int(it) % cfg.print_every == 0:
                         print(f"    iter {int(it):>7d}  delta[{float(dmin):.3e},"
