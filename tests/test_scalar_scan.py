@@ -81,3 +81,22 @@ def test_scalar_operator_fast_path_matches_generic():
         else:
             np.testing.assert_allclose(np.asarray(g[..., 0]),
                                        np.asarray(w[..., 0]), rtol=1e-5)
+
+
+def test_chunked_scalar_scan_small_T_matches_xla():
+    """The work-efficient chunked scalar kernel (default at T >= 512; called
+    directly here because the jitted entry caches the env-selected mode per
+    shape) must also be exact on small padded shapes."""
+    from aux_ssm_tpu.ops.pallas.scalar_scan import (
+        _chunked_block_scan, _filter_combine, _FILTER_IDENT)
+    rng = np.random.default_rng(7)
+    for (T, B) in [(30, 5), (100, 36), (513, 130)]:
+        elems = list(_rand_filter_elems(rng, T, B))
+        got = _chunked_block_scan(elems, _filter_combine, _FILTER_IDENT,
+                                  interpret=True)
+        ref = jax.lax.associative_scan(filtering_operator,
+                                       _as_mat(tuple(elems)))
+        for g, want in zip(got, ref):
+            want = want.reshape(want.shape[:2])
+            np.testing.assert_allclose(np.asarray(g), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
