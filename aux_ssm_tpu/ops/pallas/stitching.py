@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..take import (categorical_from_uniforms, take_rows, _use_tile_path,
-                    _three_level_draw, _select_tile_rows, _TILE)
+                    _three_level_draw, _select_tile_rows, _prefix_tile, _TILE)
 
 _ROW_BLOCK = 128
 # Finite stand-in for -inf log-masses: far below any real score, yet
@@ -397,6 +397,18 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
                              pair_offset=pair_offset)
 
 
+def _stage2_mode():
+    """Uniform-to-index mapping of the within-group column draw.
+
+    'icdf' (default): ONE counter uniform per draw + inverse CDF over the
+    G recomputed scores — exp(s) + a prefix sum, G-fold fewer hash rounds
+    and 2G fewer `log` evaluations per draw than Gumbel-argmax. Same exact
+    conditional categorical law.
+    'gumbel': per-lane Gumbel-argmax (the round-2..4 counter stream), kept
+    for A/B and stream reproducibility of old runs."""
+    return os.environ.get("AUX_SSM_STAGE2", "icdf")
+
+
 def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
                       pair_offset=0, col_extra=None, group=_COL_BLOCK):
     """Stage 2b alone: given each draw's column group, draw the within-group
@@ -444,10 +456,23 @@ def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
     cb_sel = sel[..., k * G:(k + 1) * G]
     s2 = jnp.einsum("pnk,pnjk->pnj", row_feat_sel, cf_sel) + cb_sel
     j_loc = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 2)
-    u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
-                           blocks[:, :, None], j_loc)             # (P, n, G)
-    g = s2 - jnp.log(-jnp.log(u_in))
-    j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
+    if _stage2_mode() == "icdf":
+        # Counter j = G sits outside the Gumbel stream's j_loc range, so the
+        # two modes never share a uniform.
+        u1 = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
+                             blocks[:, :, None],
+                             jnp.full_like(blocks[:, :, None], G))  # (P, n, 1)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        w2 = jnp.exp(s2 - m2)
+        cdf = _prefix_tile(w2) if G == _TILE else jnp.cumsum(w2, axis=-1)
+        tgt = u1 * cdf[..., -1:]
+        j_star = jnp.clip(jnp.sum((cdf < tgt).astype(jnp.int32), axis=-1),
+                          0, G - 1)
+    else:
+        u_in = counter_uniform(seed, pair_ids[..., None], draw_ids[..., None],
+                               blocks[:, :, None], j_loc)         # (P, n, G)
+        g = s2 - jnp.log(-jnp.log(u_in))
+        j_star = jnp.argmax(g, axis=-1).astype(jnp.int32)
     cols = blocks * G + j_star
     if not e:
         return cols

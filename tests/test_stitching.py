@@ -221,9 +221,12 @@ def test_block_masses_suppressed_block_flushes_to_neg_inf():
     assert np.all(np.asarray(blocks) == 0)
 
 
-def test_blocked_col_sample_law():
+@pytest.mark.parametrize("stage2", ["icdf", "gumbel"])
+def test_blocked_col_sample_law(monkeypatch, stage2):
     """Block-then-within-block draws must follow the exact conditional
-    categorical softmax(rf_i . cf + cb) — same law as `col_sample`."""
+    categorical softmax(rf_i . cf + cb) — same law as `col_sample` — under
+    BOTH within-group mappings (icdf default, legacy gumbel)."""
+    monkeypatch.setenv("AUX_SSM_STAGE2", stage2)
     rng = np.random.default_rng(10)
     N, k = 256, 2
     n_seeds = 4000
