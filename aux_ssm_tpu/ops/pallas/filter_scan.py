@@ -315,6 +315,11 @@ def fused_filter_scan(elems, interpret=False):
             pltpu.VMEM((d, d, BLOCK), dtype), pltpu.VMEM((d, BLOCK), dtype),
             pltpu.VMEM((d, d, BLOCK), dtype),
         ],
+        # The combine holds ~a dozen (d, d, BLOCK) live temporaries (two
+        # solves + five matmuls per level); at d ~ 30 that passes the
+        # default 16 MB scoped-VMEM limit — raise it as csmc_fwd does.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*lane)
 
@@ -371,6 +376,9 @@ def _fused_filter_scan_chunked(elems, interpret=False):
             pltpu.VMEM((d, d, _L), dtype), pltpu.VMEM((d, _L), dtype),
             pltpu.VMEM((d, d, _L), dtype),
         ],
+        # Same raised scoped-VMEM ceiling as the HS kernel (large d).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*chunked)
 

@@ -236,6 +236,12 @@ def fused_make_elements(Fs, Qs, bs, Hs, Rs, cs, ys, m, P, interpret=False):
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
+        # The per-element update/predict algebra holds tens of (d, d, BLOCK)
+        # live temporaries; at d ~ 30 the vector stack passes the default
+        # 16 MB scoped limit (25.45 MB measured for the SV T=250 D=30
+        # reference shape) — raise it as csmc_fwd does.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return tuple(_ulm(z)[:T] for z in out)
@@ -274,6 +280,10 @@ def fused_ell(Fs, Qs, bs, Hs, Rs, cs, ys, ms, Ps, interpret=False):
         in_specs=[spec(z.shape) for z in args],
         out_specs=pl.BlockSpec((1, _BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        # Same per-element algebra as `fused_make_elements` — same raised
+        # scoped-VMEM ceiling for large d (see comment there).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out[0, :T]
@@ -313,6 +323,8 @@ def fused_affine_scan(gains, incs, reverse=False, interpret=False):
         out_specs=(mat_spec, vec_spec),
         scratch_shapes=[pltpu.VMEM((d, d, _BLOCK), G.dtype),
                         pltpu.VMEM((d, _BLOCK), e.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(G, e)
 
@@ -394,6 +406,10 @@ def fused_logdensity_steps(Fs, Qs, bs, Hs, Rs, cs, ys, x_prev, x_cur,
         in_specs=[spec(z.shape) for z in args],
         out_specs=pl.BlockSpec((1, _BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        # Same per-element algebra as `fused_make_elements` — same raised
+        # scoped-VMEM ceiling for large d (see comment there).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out[0, :T]

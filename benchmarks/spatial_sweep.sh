@@ -9,7 +9,8 @@ OUT=${1:-results/spatial}
 T=${T:-1024}
 D=${D:-8}
 mkdir -p "$OUT"
-common=(--T "$T" --D "$D" --parallel --n-samples 10000 --burnin 2500 --seed 42)
+common=(--T "$T" --D "$D" --parallel --delta-init 1e-5 --lr 0.1
+        --n-samples 10000 --burnin 2500 --seed 42)
 for grad in --no-gradient --gradient; do
   python -m aux_ssm_tpu.experiments.spatial "${common[@]}" --style kalman-1 \
     "$grad" --target-alpha 0.5 --out "$OUT/kalman${grad/--/_}.npz"

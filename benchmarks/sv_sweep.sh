@@ -11,6 +11,7 @@ T=${T:-250}
 D=${D:-30}
 mkdir -p "$OUT"
 common=(--T "$T" --D "$D" --parallel --target-alpha 0.5
+        --delta-init 1e-8 --lr 0.1
         --n-samples 10000 --burnin 2500 --seed 42)
 python -m aux_ssm_tpu.experiments.sv "${common[@]}" --style kalman-1 \
   --out "$OUT/kalman1.npz"
