@@ -400,13 +400,17 @@ def blocked_col_sample(seed, rows, Lb, row_feat_sel, col_feat, col_bias,
 def _stage2_mode():
     """Uniform-to-index mapping of the within-group column draw.
 
-    'icdf' (default): ONE counter uniform per draw + inverse CDF over the
-    G recomputed scores — exp(s) + a prefix sum, G-fold fewer hash rounds
-    and 2G fewer `log` evaluations per draw than Gumbel-argmax. Same exact
-    conditional categorical law.
-    'gumbel': per-lane Gumbel-argmax (the round-2..4 counter stream), kept
-    for A/B and stream reproducibility of old runs."""
-    return os.environ.get("AUX_SSM_STAGE2", "icdf")
+    'gumbel' (default): per-lane Gumbel-argmax — one counter hash + two
+    logs per recomputed score lane. 'icdf': ONE uniform per draw + inverse
+    CDF over the G lanes — same exact conditional categorical law, G-fold
+    fewer transcendentals on paper, but measured SLOWER on v5e at the
+    N=4096 bench shape (5.7 vs 6.13 samples/s full-step with a cumsum CDF,
+    5.02 with a `_prefix_tile` matmul CDF, same session, RESULTS_r5.md):
+    the Gumbel score/argmax fuses into the s2 pass while the icdf variant
+    adds materialised (P, n, G) exp/cumsum passes that are HBM-bound, and
+    the transcendental saving never shows. Kept opt-in for architectures
+    where the balance differs."""
+    return os.environ.get("AUX_SSM_STAGE2", "gumbel")
 
 
 def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
@@ -464,7 +468,12 @@ def within_block_cols(seed, blocks, row_feat_sel, col_feat, col_bias,
                              jnp.full_like(blocks[:, :, None], G))  # (P, n, 1)
         m2 = jnp.max(s2, axis=-1, keepdims=True)
         w2 = jnp.exp(s2 - m2)
-        cdf = _prefix_tile(w2) if G == _TILE else jnp.cumsum(w2, axis=-1)
+        # log-shift cumsum, NOT the `_prefix_tile` matmul: at (P, n, G) =
+        # (512, 4096, 128) the one-hot-free prefix matmul is 549 GFLOP of
+        # HIGHEST-precision work and measured SLOWER than the Gumbel path
+        # it replaces (5.7 vs 6.13 samples/s); the shift-add lowering is
+        # ~2 G-ops.
+        cdf = jnp.cumsum(w2, axis=-1)
         tgt = u1 * cdf[..., -1:]
         j_star = jnp.clip(jnp.sum((cdf < tgt).astype(jnp.int32), axis=-1),
                           0, G - 1)
